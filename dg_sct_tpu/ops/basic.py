@@ -1,0 +1,198 @@
+"""Basic parameterized NN ops as pure functions over param pytrees.
+
+Conventions:
+  * params are nested dicts of jnp arrays;
+  * linear kernels are stored `(in, out)` (JAX convention; the torch converter
+    transposes `nn.Linear.weight`);
+  * every op is `f(params, x, ...) -> y` and shape-polymorphic over leading axes.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# initializers (match the torch defaults the reference relies on)
+# ---------------------------------------------------------------------------
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    """timm-style truncated normal in [-2, 2] stds."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
+    """torch nn.Linear/nn.Conv default weight init (kaiming_uniform a=sqrt(5))."""
+    bound = math.sqrt(1.0 / fan_in)  # gain for a=sqrt(5) reduces to 1/sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def linear_init(key, in_dim, out_dim, bias=True, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    p = {"kernel": kaiming_uniform(kw, (in_dim, out_dim), in_dim, dtype)}
+    if bias:
+        bound = 1.0 / math.sqrt(in_dim)
+        p["bias"] = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def linear(params, x):
+    y = x @ params["kernel"]
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+def layer_norm_init(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params, x, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    return xn * params["scale"] + params["bias"]
+
+
+def mlp_init(key, dim, hidden, out=None, dtype=jnp.float32):
+    out = out or dim
+    k1, k2 = jax.random.split(key)
+    return {"fc1": linear_init(k1, dim, hidden, dtype=dtype),
+            "fc2": linear_init(k2, hidden, out, dtype=dtype)}
+
+
+def mlp(params, x, act=jax.nn.gelu):
+    return linear(params["fc2"], act(linear(params["fc1"], x)))
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm with explicit running-stat state
+# ---------------------------------------------------------------------------
+
+def batch_norm_init(dim, dtype=jnp.float32):
+    params = {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+    state = {"mean": jnp.zeros((dim,), dtype), "var": jnp.ones((dim,), dtype),
+             "count": jnp.zeros((), jnp.int32)}
+    return params, state
+
+
+def batch_norm(params, state, x, *, train: bool, momentum=0.1, eps=1e-5, axis=-1):
+    """BatchNorm over all axes except `axis` (the channel axis).
+
+    Matches torch BatchNorm semantics: biased variance for normalization,
+    unbiased variance tracked in the running state.
+    """
+    ax = axis % x.ndim
+    reduce_axes = tuple(i for i in range(x.ndim) if i != ax)
+    bshape = [1] * x.ndim
+    bshape[ax] = x.shape[ax]
+
+    if train:
+        mu = jnp.mean(x, axis=reduce_axes)
+        var = jnp.var(x, axis=reduce_axes)
+        n = x.size // x.shape[ax]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mu,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            "count": state["count"] + 1,
+        }
+    else:
+        mu, var = state["mean"], state["var"]
+        new_state = state
+
+    xn = (x - mu.reshape(bshape)) * jax.lax.rsqrt(var.reshape(bshape) + eps)
+    y = xn * params["scale"].reshape(bshape) + params["bias"].reshape(bshape)
+    return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# grouped 1x1 "conv" == block-diagonal linear over the channel axis
+# ---------------------------------------------------------------------------
+
+def grouped_linear_init(key, in_dim, out_dim, groups, bias=False, dtype=jnp.float32):
+    """Equivalent of `nn.Conv2d(in, out, 1, groups=g)` used by the adapter
+    bottleneck (`DG-SCT/AVE/nets/net_trans.py:500-505`). Kernel stored as
+    (groups, in//g, out//g)."""
+    kw, kb = jax.random.split(key)
+    gi, go = in_dim // groups, out_dim // groups
+    p = {"kernel": kaiming_uniform(kw, (groups, gi, go), gi, dtype)}
+    if bias:
+        bound = 1.0 / math.sqrt(gi)
+        p["bias"] = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def grouped_linear(params, x):
+    """x: (..., in_dim) -> (..., out_dim), block-diagonal over channel groups."""
+    g, gi, go = params["kernel"].shape
+    lead = x.shape[:-1]
+    xg = x.reshape(lead + (g, gi))
+    y = jnp.einsum("...gi,gio->...go", xg, params["kernel"])
+    y = y.reshape(lead + (g * go,))
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# patch embedding (4x4 stride-4 conv == space-to-depth + linear: MXU friendly)
+# ---------------------------------------------------------------------------
+
+def patch_embed_init(key, patch, in_chans, embed_dim, norm=True, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    fan_in = in_chans * patch * patch
+    p = {
+        # stored as conv weight laid out (patch, patch, in, embed) for the
+        # space-to-depth matmul; torch converter reshapes (E, C, P, P).
+        "kernel": kaiming_uniform(kw, (patch, patch, in_chans, embed_dim), fan_in, dtype),
+        "bias": jax.random.uniform(kb, (embed_dim,), dtype,
+                                   -1.0 / math.sqrt(fan_in), 1.0 / math.sqrt(fan_in)),
+    }
+    if norm:
+        p["norm"] = layer_norm_init(embed_dim, dtype)
+    return p
+
+
+def patch_embed(params, x, patch):
+    """x: (B, H, W, C) -> (B, (H/p)*(W/p), E).
+
+    Non-overlapping patch conv implemented as space-to-depth + matmul so XLA
+    maps it straight onto the MXU (no implicit im2col). Reference:
+    `DG-SCT/AVE/nets/layers.py:56-86` and timm PatchEmbed.
+    """
+    B, H, W, C = x.shape
+    gh, gw = H // patch, W // patch
+    x = x.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, patch * patch * C)
+    k = params["kernel"].reshape(patch * patch * C, -1)
+    y = x @ k + params["bias"]
+    if "norm" in params:
+        y = layer_norm(params["norm"], y)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# stochastic ops
+# ---------------------------------------------------------------------------
+
+def dropout(rng, x, rate, train):
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def drop_path(rng, x, rate, train):
+    """Stochastic depth on the leading (batch) axis."""
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)

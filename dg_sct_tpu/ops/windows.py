@@ -1,0 +1,191 @@
+"""Windowed-attention utilities shared by both towers.
+
+TPU-first design notes: window partition/reverse are pure reshapes+transposes
+(zero-copy layout changes under XLA), attention masks and relative-position
+index tables are *static* numpy constants baked at trace time, and the
+attention itself is a batch of small matmuls that XLA tiles onto the MXU.
+
+Reference behavior: `DG-SCT/AVE/nets/htsat.py:20-131` (V1 window attention w/
+relative position bias) and timm 0.6.12 `swin_transformer_v2.py` (scaled-cosine
+attention + log-CPB MLP bias) driven externally at `net_trans.py:894-914`.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .basic import linear, linear_init, kaiming_uniform, trunc_normal
+
+
+def window_partition(x, ws):
+    """(B, H, W, C) -> (B * nW, ws*ws, C), row-major over window grid
+    (matches htsat.py:20-31)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_reverse(wins, ws, H, W):
+    """(B*nW, ws*ws, C) -> (B, H, W, C) (matches htsat.py:34-47)."""
+    nW = (H // ws) * (W // ws)
+    B = wins.shape[0] // nW
+    x = wins.reshape(B, H // ws, W // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(ws_h: int, ws_w: int) -> np.ndarray:
+    """(ws_h*ws_w, ws_h*ws_w) index into the (2h-1)(2w-1) bias table
+    (htsat.py:76-87; identical in Swin-V2)."""
+    coords = np.stack(np.meshgrid(np.arange(ws_h), np.arange(ws_w), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += ws_h - 1
+    rel[:, :, 1] += ws_w - 1
+    rel[:, :, 0] *= 2 * ws_w - 1
+    return rel.sum(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def shift_attn_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """(nW, ws*ws, ws*ws) additive mask (0 / -100) for shifted windows
+    (htsat.py:185-208; timm swinv2 uses the same construction)."""
+    img = np.zeros((H, W), np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    win = img.reshape(H // ws, ws, W // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def log_cpb_coords_table(ws_h: int, ws_w: int, pretrained_ws: int = 0) -> np.ndarray:
+    """((2h-1)*(2w-1), 2) log-spaced continuous relative coords for the Swin-V2
+    CPB MLP (timm 0.6.12 WindowAttention.__init__)."""
+    rh = np.arange(-(ws_h - 1), ws_h, dtype=np.float32)
+    rw = np.arange(-(ws_w - 1), ws_w, dtype=np.float32)
+    table = np.stack(np.meshgrid(rh, rw, indexing="ij"), axis=-1)  # (2h-1, 2w-1, 2)
+    denom_h = (pretrained_ws - 1) if pretrained_ws > 0 else (ws_h - 1)
+    denom_w = (pretrained_ws - 1) if pretrained_ws > 0 else (ws_w - 1)
+    table[:, :, 0] /= denom_h
+    table[:, :, 1] /= denom_w
+    table *= 8.0
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return table.reshape(-1, 2).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# V1 window attention (HTS-AT): scaled dot-product + learned rel-pos bias table
+# ---------------------------------------------------------------------------
+
+def attention_v1_init(key, dim, ws, num_heads, qkv_bias=True, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "qkv": linear_init(k1, dim, dim * 3, bias=qkv_bias, dtype=dtype),
+        "proj": linear_init(k2, dim, dim, dtype=dtype),
+        "rpb_table": trunc_normal(k3, ((2 * ws - 1) * (2 * ws - 1), num_heads), dtype=dtype),
+    }
+    return p
+
+
+def window_attention_v1(params, x, *, num_heads, ws, mask=None):
+    """x: (Bw, N, C) windows; returns (Bw, N, C).
+
+    Pre-norm V1 attention with additive relative-position bias
+    (htsat.py:97-128)."""
+    Bw, N, C = x.shape
+    hd = C // num_heads
+    qkv = linear(params["qkv"], x).reshape(Bw, N, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bw, N, h, hd)
+    q = q * (hd ** -0.5)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+
+    idx = relative_position_index(ws, ws).reshape(-1)
+    bias = params["rpb_table"][idx].reshape(N, N, num_heads).transpose(2, 0, 1)
+    attn = attn + bias[None].astype(attn.dtype)
+
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(Bw // nW, nW, num_heads, N, N) + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(Bw, num_heads, N, N)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, C)
+    return linear(params["proj"], out)
+
+
+# ---------------------------------------------------------------------------
+# V2 window attention (Swin-V2): scaled cosine + log-CPB MLP bias
+# ---------------------------------------------------------------------------
+
+def attention_v2_init(key, dim, num_heads, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "qkv": {"kernel": kaiming_uniform(k1, (dim, dim * 3), dim, dtype)},  # no fused bias
+        "q_bias": jnp.zeros((dim,), dtype),
+        "v_bias": jnp.zeros((dim,), dtype),
+        "logit_scale": jnp.log(10.0 * jnp.ones((num_heads, 1, 1), dtype)),
+        "cpb_fc1": linear_init(k2, 2, 512, dtype=dtype),
+        "cpb_fc2": {"kernel": kaiming_uniform(k3, (512, num_heads), 512, dtype)},
+        "proj": linear_init(k4, dim, dim, dtype=dtype),
+    }
+
+
+def window_attention_v2(params, x, *, num_heads, ws, mask=None, pretrained_ws=0):
+    """Scaled-cosine window attention with log-CPB bias (timm 0.6.12 semantics;
+    exercised via `blk._attn` at `net_trans.py:894`). x: (Bw, N, C)."""
+    Bw, N, C = x.shape
+    hd = C // num_heads
+    qkv_bias = jnp.concatenate([
+        params["q_bias"], jnp.zeros_like(params["v_bias"]), params["v_bias"]])
+    qkv = (x @ params["qkv"]["kernel"] + qkv_bias).reshape(Bw, N, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+    qn = q * jax.lax.rsqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True) + 1e-12)
+    kn = k * jax.lax.rsqrt(jnp.sum(jnp.square(k), axis=-1, keepdims=True) + 1e-12)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", qn, kn, preferred_element_type=jnp.float32)
+    logit_scale = jnp.exp(jnp.minimum(params["logit_scale"], math.log(1.0 / 0.01)))
+    attn = attn * logit_scale[None].astype(attn.dtype)
+
+    table = jnp.asarray(log_cpb_coords_table(ws, ws, pretrained_ws), x.dtype)
+    cpb = linear(params["cpb_fc2"], jax.nn.relu(linear(params["cpb_fc1"], table)))
+    idx = relative_position_index(ws, ws).reshape(-1)
+    bias = cpb[idx].reshape(N, N, num_heads).transpose(2, 0, 1)
+    bias = 16.0 * jax.nn.sigmoid(bias)
+    attn = attn + bias[None].astype(attn.dtype)
+
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(Bw // nW, nW, num_heads, N, N) + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(Bw, num_heads, N, N)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, C)
+    return linear(params["proj"], out)
+
+
+def shifted_window_attention(attn_fn, x, *, H, W, ws, shift):
+    """Full spatial attention step: roll -> partition -> attn -> reverse -> unroll.
+
+    `attn_fn(windows, mask)` does the per-window attention. x: (B, H*W, C)."""
+    B, L, C = x.shape
+    xs = x.reshape(B, H, W, C)
+    if shift > 0:
+        xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+        mask = jnp.asarray(shift_attn_mask(H, W, ws, shift))
+    else:
+        mask = None
+    wins = window_partition(xs, ws)
+    wins = attn_fn(wins, mask)
+    xs = window_reverse(wins, ws, H, W)
+    if shift > 0:
+        xs = jnp.roll(xs, (shift, shift), axis=(1, 2))
+    return xs.reshape(B, L, C)
