@@ -1,0 +1,179 @@
+"""AVE dataset pipeline.
+
+Rebuild of `DG-SCT/AVE/dataloader.py:33-186`: 10 frames per clip sampled with
+np.linspace over the decoded jpgs, resized to 192 bicubic + ImageNet
+normalization; waveform `.npy` tiled/cropped to `[10, 32000]`; one-hot labels
+`(T=10, 29)` with background class 28.
+
+Host-side (numpy/PIL) with a prefetching iterator that overlaps decode with
+device compute. Labels can be rebuilt straight from `Annotations.txt` (the
+reference ships prebuilt `*_order.h5` index files; both paths supported).
+"""
+from __future__ import annotations
+
+import os
+import threading
+import queue as queue_mod
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+NUM_CLASSES = 28  # foreground; bg = 28
+NUM_SEGMENTS = 10
+SAMPLE_RATE = 32000
+
+
+def load_categories(path: str) -> List[str]:
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def parse_annotations(ann_path: str, categories: Sequence[str]):
+    """Annotations.txt rows `Category&VideoID&Quality&Start&End` ->
+    list of (video_id, onehot (10, 29))."""
+    cat_idx = {c: i for i, c in enumerate(categories)}
+    out = []
+    with open(ann_path) as f:
+        next(f)  # header
+        for ln in f:
+            parts = ln.strip().split("&")
+            if len(parts) < 5:
+                continue
+            cat, vid, _, start, end = parts[:5]
+            onehot = np.zeros((NUM_SEGMENTS, NUM_CLASSES + 1), np.float32)
+            onehot[:, NUM_CLASSES] = 1.0
+            s, e = int(float(start)), int(float(end))
+            c = cat_idx[cat]
+            for t in range(max(s, 0), min(e, NUM_SEGMENTS)):
+                onehot[t, NUM_CLASSES] = 0.0
+                onehot[t, c] = 1.0
+            out.append((vid, onehot))
+    return out
+
+
+def load_split_ids(path: str) -> List[str]:
+    """trainSet/testSet/valSet.txt rows share the annotation format."""
+    ids = []
+    with open(path) as f:
+        for ln in f:
+            parts = ln.strip().split("&")
+            if len(parts) >= 2 and parts[1] != "VideoID":
+                ids.append(parts[1])
+    return ids
+
+
+def resize_bicubic(img: np.ndarray, size: int) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.fromarray(img).resize((size, size), Image.BICUBIC))
+
+
+def load_frames(frame_dir: str, video_id: str, num_frames=NUM_SEGMENTS,
+                img_size=192) -> np.ndarray:
+    """Sample `num_frames` jpgs with np.linspace (dataloader.py:162-171);
+    returns (T, H, W, 3) float32 normalized."""
+    vdir = os.path.join(frame_dir, video_id)
+    files = sorted(f for f in os.listdir(vdir) if f.endswith((".jpg", ".png")))
+    idxs = np.linspace(0, len(files) - 1, num_frames).astype(int)
+    from PIL import Image
+    frames = []
+    for i in idxs:
+        img = np.asarray(Image.open(os.path.join(vdir, files[i])).convert("RGB"))
+        img = resize_bicubic(img, img_size).astype(np.float32) / 255.0
+        frames.append((img - IMAGENET_MEAN) / IMAGENET_STD)
+    return np.stack(frames)
+
+
+def load_wave(audio_dir: str, video_id: str, num_segments=NUM_SEGMENTS,
+              sr=SAMPLE_RATE) -> np.ndarray:
+    """`.npy` waveform tiled/cropped to (T, sr) (dataloader.py:174-179)."""
+    wave = np.load(os.path.join(audio_dir, f"{video_id}.npy")).reshape(-1)
+    need = num_segments * sr
+    if len(wave) < need:
+        wave = np.tile(wave, need // max(len(wave), 1) + 1)
+    wave = wave[:need]
+    return wave.reshape(num_segments, sr).astype(np.float32)
+
+
+class AVEDataset:
+    """Map-style dataset over an AVE split."""
+
+    def __init__(self, root: str, split: str = "train", img_size: int = 192,
+                 frame_dir: Optional[str] = None, audio_dir: Optional[str] = None):
+        meta = os.path.join(root, "data", "AVE") if os.path.isdir(
+            os.path.join(root, "data", "AVE")) else root
+        cats = load_categories(os.path.join(meta, "categories.txt"))
+        ann = dict(parse_annotations(os.path.join(meta, "Annotations.txt"), cats))
+        split_file = {"train": "trainSet.txt", "test": "testSet.txt", "val": "valSet.txt"}[split]
+        self.ids = [v for v in load_split_ids(os.path.join(meta, split_file)) if v in ann]
+        self.labels = ann
+        self.frame_dir = frame_dir
+        self.audio_dir = audio_dir
+        self.img_size = img_size
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, i):
+        vid = self.ids[i]
+        return {
+            "image": load_frames(self.frame_dir, vid, img_size=self.img_size),
+            "wave": load_wave(self.audio_dir, vid),
+            "GT": self.labels[vid],
+        }
+
+
+def synthetic_batch(batch_size: int, *, img_size=192, num_segments=NUM_SEGMENTS,
+                    sr=SAMPLE_RATE, seed=0):
+    """Deterministic synthetic AVE batch (benchmarks / smoke tests)."""
+    rs = np.random.RandomState(seed)
+    gt = np.zeros((batch_size, num_segments, NUM_CLASSES + 1), np.float32)
+    cls = rs.randint(0, NUM_CLASSES, size=batch_size)
+    for b in range(batch_size):
+        gt[b, :, cls[b]] = 1.0
+    return {
+        "wave": rs.randn(batch_size, num_segments, sr).astype(np.float32) * 0.1,
+        "image": rs.rand(batch_size, num_segments, img_size, img_size, 3).astype(np.float32),
+        "gt": gt,
+    }
+
+
+def batched_iterator(dataset, batch_size: int, *, shuffle=True, seed=0,
+                     drop_last=True, num_workers=4, prefetch=2) -> Iterator[dict]:
+    """Threaded prefetching loader: worker threads decode samples, a collator
+    stacks them, `prefetch` ready batches buffer ahead of the device step."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    batches = [order[i:i + batch_size] for i in range(0, len(order), batch_size)]
+    if drop_last:
+        batches = [b for b in batches if len(b) == batch_size]
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def produce():
+        for idxs in batches:
+            if stop.is_set():
+                return
+            samples = [dataset[int(i)] for i in idxs]
+            batch = {
+                "image": np.stack([s["image"] for s in samples]),
+                "wave": np.stack([s["wave"] for s in samples]),
+                "gt": np.stack([s["GT"] for s in samples]),
+            }
+            q.put(batch)
+        q.put(None)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch
+    finally:
+        stop.set()

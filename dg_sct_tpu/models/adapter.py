@@ -1,0 +1,130 @@
+"""DG-SCT cross-modal prompt adapter.
+
+TPU-native rebuild of `VisualAdapter` (`DG-SCT/AVE/nets/net_trans.py:433-674`).
+The reference shuttles tokens through (B, C, N, 1) Conv2d layouts; here
+everything stays in the natural (B, N, C) token layout and every 1x1 conv is a
+matmul, so the whole adapter is a chain of MXU matmuls + VPU elementwise ops
+XLA can fuse.
+
+Forward stages (net_trans.py:552-674):
+  1. resample the other modality's tokens to this tower's (N, C) geometry
+     (`conv_adapter` over the token axis + `fc` over channels);
+  2. latent-token two-hop cross attention: prompts<-other, x<-prompts,
+     gated by zero-init `gate_av`;
+  3. channel attention (SE-style, query = other-modality mean token);
+  4. spatial attention (per-position score); modulate x with
+     alpha*channel + beta*spatial + (1-alpha); softmax(tanh(score)) is also
+     returned as the tower's final pooling map (consumed at net_trans.py:922-924);
+  5. LN -> grouped bottleneck down/BN/ReLU/up/BN -> LN -> zero-init `gate`.
+Only stage 5's output is the residual added to the tower stream.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import AdapterConfig
+from ..ops.basic import (batch_norm, batch_norm_init, grouped_linear,
+                         grouped_linear_init, layer_norm, layer_norm_init,
+                         linear, linear_init)
+
+
+def init_adapter(key, *, dim, other_dim, num_tokens_self, num_tokens_other,
+                 cfg: AdapterConfig, dtype=jnp.float32):
+    """One adapter: `dim`/`num_tokens_self` describe this tower's stream x,
+    `other_dim`/`num_tokens_other` the prompting modality."""
+    keys = jax.random.split(key, 12)
+    down = dim // cfg.reduction_factor
+    d_model = dim // 2
+    params = {
+        # stage 1: token-count resample (conv_adapter) + channel align (fc)
+        "token_resample": linear_init(keys[0], num_tokens_other, num_tokens_self, dtype=dtype),
+        "chan_align": linear_init(keys[1], other_dim, dim, dtype=dtype),
+        # stage 2: latent prompts
+        "latent_tokens": jax.random.uniform(keys[2], (cfg.num_tokens, dim), dtype),
+        "gate_av": jnp.zeros((1,), dtype),
+        # stage 3/4: channel + spatial attention affines
+        "aff_audio_1": linear_init(keys[3], dim, dim, dtype=dtype),
+        "aff_video_1": linear_init(keys[4], dim, dim, dtype=dtype),
+        "aff_bottleneck": linear_init(keys[5], dim, d_model, dtype=dtype),
+        "aff_video_2": linear_init(keys[6], dim, d_model, dtype=dtype),
+        "aff_audio_2": linear_init(keys[7], dim, d_model, dtype=dtype),
+        "aff_v_s_att": linear_init(keys[8], d_model, 1, dtype=dtype),
+        "aff_v_c_att": linear_init(keys[9], d_model, dim, dtype=dtype),
+        # stage 5: grouped bottleneck
+        "down": grouped_linear_init(keys[10], dim, down, cfg.num_conv_group, dtype=dtype),
+        "up": grouped_linear_init(keys[11], down, dim, cfg.num_conv_group, dtype=dtype),
+    }
+    if cfg.use_gate:
+        params["gate"] = jnp.zeros((1,), dtype)
+    state = {}
+    if cfg.use_bn:
+        params["bn1"], state["bn1"] = batch_norm_init(down, dtype)
+        params["bn2"], state["bn2"] = batch_norm_init(dim, dtype)
+    if cfg.is_before_layernorm:
+        params["ln_before"] = layer_norm_init(dim, dtype)
+    if cfg.is_post_layernorm:
+        params["ln_post"] = layer_norm_init(dim, dtype)
+    return params, state
+
+
+def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
+    """x: (B, N, C) this tower's tokens; other: (B, M, D) prompting tokens.
+
+    Returns (residual (B, N, C), spatial_att_maps (B, 1, N), new_state).
+    """
+    B, N, C = x.shape
+
+    # ---- stage 1: resample prompts to (B, N, C) ------------------------------
+    # conv_adapter acts on the token axis (net_trans.py:553): (B, M, D)->(B, N, D)
+    p = jnp.einsum("bmd,mn->bnd", other, params["token_resample"]["kernel"])
+    p = p + params["token_resample"]["bias"][None, :, None]
+    prompts = linear(params["chan_align"], p)                     # (B, N, C)
+
+    # ---- stage 2: latent-token two-hop attention (net_trans.py:572-589) ------
+    tok = params["latent_tokens"]                                  # (T, C)
+    # att_v2tk = softmax over prompt *channel-transposed* axis: the reference
+    # bmm's (B,T,C)x(B,C,N) -> (B,T,N), softmax over N
+    att_v2tk = jax.nn.softmax(jnp.einsum("tc,bnc->btn", tok, prompts), axis=-1)
+    rep = tok[None] + jnp.einsum("btn,bnc->btc", att_v2tk, prompts)
+    att_tk2x = jax.nn.softmax(jnp.einsum("bnc,btc->bnt", x, rep), axis=-1)
+    x = x + params["gate_av"] * jnp.einsum("bnt,btc->bnc", att_tk2x, rep)
+
+    # ---- stage 3: channel attention (net_trans.py:592-598) -------------------
+    other_mean = jnp.mean(prompts, axis=1)                         # (B, C)
+    q_a = jax.nn.relu(linear(params["aff_audio_1"], other_mean))[:, None, :]
+    q_v = jax.nn.relu(linear(params["aff_video_1"], x))            # (B, N, C)
+    joint = jnp.mean(q_a * q_v, axis=1)                            # (B, C)
+    joint = jax.nn.relu(linear(params["aff_bottleneck"], joint))
+    ch_map = jax.nn.sigmoid(linear(params["aff_v_c_att"], joint))[:, None, :]  # (B,1,C)
+    x_ch = x * (ch_map + 1.0)
+
+    # ---- stage 4: spatial attention (net_trans.py:600-613) -------------------
+    q_v2 = jax.nn.relu(linear(params["aff_video_2"], x_ch))        # (B, N, d)
+    q_a2 = jax.nn.relu(linear(params["aff_audio_2"], other_mean))[:, None, :]
+    sp_logits = linear(params["aff_v_s_att"], q_v2 * q_a2)         # (B, N, 1)
+    sp_sigmoid = jax.nn.sigmoid(sp_logits)                         # (B, N, 1)
+    sp_maps = jax.nn.softmax(jnp.tanh(sp_logits).transpose(0, 2, 1), axis=-1)  # (B,1,N)
+    x = x * (cfg.alpha * ch_map + cfg.beta * sp_sigmoid + 1.0 - cfg.alpha)
+
+    # ---- stage 5: bottleneck (net_trans.py:626-671) --------------------------
+    z = x
+    if cfg.is_before_layernorm:
+        z = layer_norm(params["ln_before"], z)
+    new_state = dict(state)
+    h = grouped_linear(params["down"], z)
+    if cfg.use_bn:
+        h, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], h,
+                                         train=train, axis=-1)
+    h = jax.nn.relu(h)
+    out = grouped_linear(params["up"], h)
+    if cfg.use_bn:
+        out, new_state["bn2"] = batch_norm(params["bn2"], state["bn2"], out,
+                                           train=train, axis=-1)
+    if cfg.is_post_layernorm:
+        out = layer_norm(params["ln_post"], out)
+    if cfg.use_gate:
+        out = params["gate"] * out
+    return out, sp_maps, new_state

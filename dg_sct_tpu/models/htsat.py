@@ -112,7 +112,7 @@ def block(params, x, *, dim, heads, res, ws, shift, drop_path_rate=0.0,
     shortcut = x
     xn = layer_norm(params["norm1"], x)
     attn_out = shifted_window_attention(
-        lambda w, m: window_attention_v1(params["attn"], w, num_heads=heads, ws=ws, mask=m),
+        lambda w, m, nw: window_attention_v1(params["attn"], w, num_heads=heads, ws=ws, mask=m, nW=nw),
         xn, H=H, W=W, ws=ws, shift=shift)
     if train and rng is not None and drop_path_rate > 0:
         r1, r2 = jax.random.split(rng)

@@ -1,0 +1,146 @@
+"""Interleaved dual-tower encoder: Swin-V2-L x HTS-AT in lockstep with DG-SCT
+adapters between every paired block.
+
+Rebuild of the hot loop at `DG-SCT/AVE/nets/net_trans.py:848-934` as a pure
+function over explicit params — no private-attribute poking, traced once under
+jit. Per paired block (net_trans.py:891-908):
+
+    a_res, a_maps = adapter_a_p1(f_a, prompt=f_v)
+    v_res, v_maps = adapter_v_p1(f_v, prompt=f_a)
+    f_v = f_v + norm1(attn(f_v)) + v_res          # post-norm V2 half-block
+    f_a = block_a(f_a) + a_res                    # full pre-norm V1 block
+    a_res, a_maps = adapter_a_p2(f_a, prompt=f_v)
+    v_res, v_maps = adapter_v_p2(f_v, prompt=f_a)
+    f_v = f_v + norm2(mlp(f_v)) + v_res
+    f_a = f_a + a_res
+
+Unpaired visual blocks (stage 2 has 18 vs 6) run the plain V2 block; stage ends
+downsample both towers. The LAST p2 spatial maps become each tower's pooling
+weights (net_trans.py:922-924).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import AdapterConfig, AVEModelConfig, ave_adapter_dims, ave_paired_layout
+from . import adapter as A
+from . import htsat as H
+from . import swinv2 as S
+from ..ops.basic import layer_norm, mlp
+
+
+def init_adapters(key, cfg: AVEModelConfig, dtype=jnp.float32):
+    """4 x 12 adapters (audio/vis x p1/p2), mirroring the ModuleLists at
+    net_trans.py:807-845. Returns (params, state)."""
+    dims = ave_adapter_dims(cfg.swin, cfg.htsat)
+    params = {k: [] for k in ("a_p1", "v_p1", "a_p2", "v_p2")}
+    state = {k: [] for k in ("a_p1", "v_p1", "a_p2", "v_p2")}
+    keys = jax.random.split(key, 4 * len(dims))
+    ki = 0
+    for (v_dim, v_tok, a_dim, a_tok) in dims:
+        for name in ("a_p1", "a_p2"):
+            p, s = A.init_adapter(keys[ki], dim=a_dim, other_dim=v_dim,
+                                  num_tokens_self=a_tok, num_tokens_other=v_tok,
+                                  cfg=cfg.adapter, dtype=dtype)
+            params[name].append(p)
+            state[name].append(s)
+            ki += 1
+        for name in ("v_p1", "v_p2"):
+            p, s = A.init_adapter(keys[ki], dim=v_dim, other_dim=a_dim,
+                                  num_tokens_self=v_tok, num_tokens_other=a_tok,
+                                  cfg=cfg.adapter, dtype=dtype)
+            params[name].append(p)
+            state[name].append(s)
+            ki += 1
+    return params, state
+
+
+def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
+            rng=None, mixup_lambda=None):
+    """wave: (N, L) flattened clips; images: (N, H, W, 3) flattened frames.
+
+    Returns dict with pooled features f_v (N,1,1536), f_a (N,1,768) and new
+    state. N = batch * num_frames.
+    """
+    rngs = {}
+    if rng is not None:
+        for i, name in enumerate(("frontend", "towers")):
+            rngs[name] = jax.random.fold_in(rng, i)
+
+    f_v = S.patch_embed_tokens(params["swin"], images, cfg.swin)
+    f_a, new_frontend_state = H.frontend(
+        params["htsat"], state["htsat"], wave, cfg.htsat, train=train,
+        rng=rngs.get("frontend"), mixup_lambda=mixup_lambda)
+
+    vis_plan = S.block_plan(cfg.swin)
+    aud_plan = H.block_plan(cfg.htsat)
+    layout = ave_paired_layout(cfg.swin, cfg.htsat)
+
+    new_adapter_state = {k: [dict(s) for s in state["adapters"][k]]
+                         for k in state["adapters"]}
+    acfg = cfg.adapter
+    v_maps = a_maps = None
+
+    for s_idx, stage in enumerate(layout):
+        for (vb, ab, ai) in stage:
+            vparams = params["swin"]["layers"][s_idx]["blocks"][vb]
+            vmeta = vis_plan[s_idx][vb]
+            if ai is None:
+                f_v = S.block(vparams, f_v, vmeta, train=train)
+                continue
+            aparams = params["htsat"]["layers"][s_idx]["blocks"][ab]
+            ameta = aud_plan[s_idx][ab]
+
+            # p1 adapters (on pre-block streams)
+            a_res, _, st = A.adapter(params["adapters"]["a_p1"][ai],
+                                     state["adapters"]["a_p1"][ai], f_a, f_v,
+                                     acfg, train=train)
+            new_adapter_state["a_p1"][ai] = st
+            v_res, _, st = A.adapter(params["adapters"]["v_p1"][ai],
+                                     state["adapters"]["v_p1"][ai], f_v, f_a,
+                                     acfg, train=train)
+            new_adapter_state["v_p1"][ai] = st
+
+            # visual attention half-block (post-norm) + adapter residual
+            f_v = f_v + layer_norm(vparams["norm1"], S.attn_part(vparams, f_v, vmeta))
+            f_v = f_v + v_res
+
+            # full audio block + adapter residual
+            f_a = H.block(aparams, f_a, dim=ameta["dim"], heads=ameta["heads"],
+                          res=ameta["res"], ws=ameta["ws"], shift=ameta["shift"],
+                          drop_path_rate=ameta["dpr"], train=train, rng=None)
+            f_a = f_a + a_res
+
+            # p2 adapters (on mid-block streams)
+            a_res, a_maps, st = A.adapter(params["adapters"]["a_p2"][ai],
+                                          state["adapters"]["a_p2"][ai], f_a, f_v,
+                                          acfg, train=train)
+            new_adapter_state["a_p2"][ai] = st
+            v_res, v_maps, st = A.adapter(params["adapters"]["v_p2"][ai],
+                                          state["adapters"]["v_p2"][ai], f_v, f_a,
+                                          acfg, train=train)
+            new_adapter_state["v_p2"][ai] = st
+
+            # visual MLP half-block + adapter residual
+            f_v = f_v + layer_norm(vparams["norm2"], mlp(vparams["mlp"], f_v))
+            f_v = f_v + v_res
+            f_a = f_a + a_res
+
+        if "downsample" in params["swin"]["layers"][s_idx]:
+            f_v = S.patch_merging(params["swin"]["layers"][s_idx]["downsample"],
+                                  f_v, cfg.swin.stage_resolution(s_idx))
+        if "downsample" in params["htsat"]["layers"][s_idx]:
+            f_a = H.patch_merging(params["htsat"]["layers"][s_idx]["downsample"],
+                                  f_a, cfg.htsat.stage_resolution(s_idx))
+
+    f_v = layer_norm(params["swin"]["norm"], f_v)
+
+    # spatial-attention pooling with the last p2 maps (net_trans.py:922-924)
+    f_v = jnp.einsum("bon,bnc->boc", v_maps, f_v)   # (N, 1, 1536)
+    f_a = jnp.einsum("bon,bnc->boc", a_maps, f_a)   # (N, 1, 768)
+
+    new_state = {"htsat": new_frontend_state, "adapters": new_adapter_state}
+    return {"f_v": f_v, "f_a": f_a}, new_state

@@ -81,9 +81,9 @@ def attn_part(params, x, meta, *, train=False, rng=None):
     Returns attention output BEFORE norm1/residual. x: (N, L, C)."""
     H, W = meta["res"]
     return shifted_window_attention(
-        lambda w, m: window_attention_v2(params["attn"], w, num_heads=meta["heads"],
-                                         ws=meta["ws"], mask=m,
-                                         pretrained_ws=meta["pretrained_ws"]),
+        lambda w, m, nw: window_attention_v2(params["attn"], w, num_heads=meta["heads"],
+                                             ws=meta["ws"], mask=m, nW=nw,
+                                             pretrained_ws=meta["pretrained_ws"]),
         x, H=H, W=W, ws=meta["ws"], shift=meta["shift"])
 
 
@@ -112,6 +112,11 @@ def patch_merging(params, x, res):
     x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
     x = x @ params["reduction"]["kernel"]
     return layer_norm(params["norm"], x)
+
+
+def patch_embed_tokens(params, images, cfg: SwinV2Config):
+    """(N, H, W, 3) -> (N, 2304, 192) patch tokens (net_trans.py:855)."""
+    return patch_embed(params["patch_embed"], images, cfg.patch_size)
 
 
 def forward_features(params, images, cfg: SwinV2Config, *, train=False, rng=None):

@@ -85,6 +85,43 @@ def log_cpb_coords_table(ws_h: int, ws_w: int, pretrained_ws: int = 0) -> np.nda
 
 
 # ---------------------------------------------------------------------------
+# attention core: XLA einsum path or fused Pallas kernel
+# ---------------------------------------------------------------------------
+
+USE_PALLAS = False  # set via set_pallas(); read at trace time
+
+
+def set_pallas(enabled: bool) -> None:
+    """Route window attention through the fused Pallas kernel (TPU only)."""
+    global USE_PALLAS
+    USE_PALLAS = enabled
+
+
+def _attn_core(q, k, v, bias, mask, out_dtype, nW=1):
+    """q/k/v: (Bw, N, H, D) with q pre-scaled; bias (H, N, N); mask (nW, N, N)
+    or None; nW = windows per image (for per-image VMEM blocking).
+    Returns (Bw, N, H*D)."""
+    Bw, N, H, D = q.shape
+    if USE_PALLAS:
+        from .pallas.window_attention import fused_window_attention
+        # windows are laid out image-major: (B, nW) rows of the leading axis
+        resh = lambda t: t.reshape(Bw // nW, nW, N, H, D).transpose(0, 1, 3, 2, 4)
+        out = fused_window_attention(resh(q), resh(k), resh(v),
+                                     bias.astype(q.dtype),
+                                     mask.astype(q.dtype) if mask is not None else None)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(Bw, N, H * D)
+        return out.astype(out_dtype)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    attn = attn + bias[None].astype(attn.dtype)
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(Bw // nW, nW, H, N, N) + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(Bw, H, N, N)
+    attn = jax.nn.softmax(attn, axis=-1).astype(out_dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, H * D)
+
+
+# ---------------------------------------------------------------------------
 # V1 window attention (HTS-AT): scaled dot-product + learned rel-pos bias table
 # ---------------------------------------------------------------------------
 
@@ -98,7 +135,7 @@ def attention_v1_init(key, dim, ws, num_heads, qkv_bias=True, dtype=jnp.float32)
     return p
 
 
-def window_attention_v1(params, x, *, num_heads, ws, mask=None):
+def window_attention_v1(params, x, *, num_heads, ws, mask=None, nW=1):
     """x: (Bw, N, C) windows; returns (Bw, N, C).
 
     Pre-norm V1 attention with additive relative-position bias
@@ -108,18 +145,11 @@ def window_attention_v1(params, x, *, num_heads, ws, mask=None):
     qkv = linear(params["qkv"], x).reshape(Bw, N, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bw, N, h, hd)
     q = q * (hd ** -0.5)
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
 
     idx = relative_position_index(ws, ws).reshape(-1)
     bias = params["rpb_table"][idx].reshape(N, N, num_heads).transpose(2, 0, 1)
-    attn = attn + bias[None].astype(attn.dtype)
 
-    if mask is not None:
-        nW = mask.shape[0]
-        attn = attn.reshape(Bw // nW, nW, num_heads, N, N) + mask[None, :, None].astype(attn.dtype)
-        attn = attn.reshape(Bw, num_heads, N, N)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, C)
+    out = _attn_core(q, k, v, bias, mask, x.dtype, nW)
     return linear(params["proj"], out)
 
 
@@ -140,7 +170,7 @@ def attention_v2_init(key, dim, num_heads, dtype=jnp.float32):
     }
 
 
-def window_attention_v2(params, x, *, num_heads, ws, mask=None, pretrained_ws=0):
+def window_attention_v2(params, x, *, num_heads, ws, mask=None, pretrained_ws=0, nW=1):
     """Scaled-cosine window attention with log-CPB bias (timm 0.6.12 semantics;
     exercised via `blk._attn` at `net_trans.py:894`). x: (Bw, N, C)."""
     Bw, N, C = x.shape
@@ -152,30 +182,24 @@ def window_attention_v2(params, x, *, num_heads, ws, mask=None, pretrained_ws=0)
 
     qn = q * jax.lax.rsqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True) + 1e-12)
     kn = k * jax.lax.rsqrt(jnp.sum(jnp.square(k), axis=-1, keepdims=True) + 1e-12)
-    attn = jnp.einsum("bnhd,bmhd->bhnm", qn, kn, preferred_element_type=jnp.float32)
+    # fold the per-head logit scale into q (scores are linear in q)
     logit_scale = jnp.exp(jnp.minimum(params["logit_scale"], math.log(1.0 / 0.01)))
-    attn = attn * logit_scale[None].astype(attn.dtype)
+    qn = qn * logit_scale[:, 0, 0][None, None, :, None].astype(qn.dtype)
 
     table = jnp.asarray(log_cpb_coords_table(ws, ws, pretrained_ws), x.dtype)
     cpb = linear(params["cpb_fc2"], jax.nn.relu(linear(params["cpb_fc1"], table)))
     idx = relative_position_index(ws, ws).reshape(-1)
     bias = cpb[idx].reshape(N, N, num_heads).transpose(2, 0, 1)
     bias = 16.0 * jax.nn.sigmoid(bias)
-    attn = attn + bias[None].astype(attn.dtype)
 
-    if mask is not None:
-        nW = mask.shape[0]
-        attn = attn.reshape(Bw // nW, nW, num_heads, N, N) + mask[None, :, None].astype(attn.dtype)
-        attn = attn.reshape(Bw, num_heads, N, N)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, C)
+    out = _attn_core(qn, kn, v, bias, mask, x.dtype, nW)
     return linear(params["proj"], out)
 
 
 def shifted_window_attention(attn_fn, x, *, H, W, ws, shift):
     """Full spatial attention step: roll -> partition -> attn -> reverse -> unroll.
 
-    `attn_fn(windows, mask)` does the per-window attention. x: (B, H*W, C)."""
+    `attn_fn(windows, mask, nW)` does the per-window attention. x: (B, H*W, C)."""
     B, L, C = x.shape
     xs = x.reshape(B, H, W, C)
     if shift > 0:
@@ -184,7 +208,7 @@ def shifted_window_attention(attn_fn, x, *, H, W, ws, shift):
     else:
         mask = None
     wins = window_partition(xs, ws)
-    wins = attn_fn(wins, mask)
+    wins = attn_fn(wins, mask, (H // ws) * (W // ws))
     xs = window_reverse(wins, ws, H, W)
     if shift > 0:
         xs = jnp.roll(xs, (shift, shift), axis=(1, 2))

@@ -1,0 +1,51 @@
+"""Device mesh + sharding helpers.
+
+The reference's entire parallelism story is single-GPU / `nn.DataParallel`
+(SURVEY.md §2.8). The TPU-native replacement: a 1-D data mesh over ICI with
+params replicated and the (clips x frames) batch axis sharded; XLA inserts the
+gradient psums. The mesh is an explicit argument everywhere so task heads and
+the interleave loop stay sharding-annotated rather than hard-coded replicated.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) axis; replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Device-put a host batch pytree with the leading axis sharded."""
+    s = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def constrain_batch(x, mesh: Mesh, axis: str = DATA_AXIS):
+    """`with_sharding_constraint` pinning the leading axis to the data axis —
+    used at tower boundaries inside jit so XLA keeps activations sharded."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

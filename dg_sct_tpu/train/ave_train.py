@@ -1,0 +1,76 @@
+"""AVE training/eval steps: jit-compiled, mesh-sharded, frozen-backbone-aware.
+
+Replaces the reference driver loop (`DG-SCT/AVE/main_trans.py:83-143`). Key
+deviation from the reference (deliberate, TPU-first): frozen params are
+*partitioned out* of the differentiated tree, so the backward pass never
+materializes backbone weight gradients (the reference computes-then-discards
+them via `requires_grad=False` at the autograd level).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import AVEModelConfig, TrainConfig
+from ..models import ave
+from . import losses
+from .metrics import ave_accuracy
+from .optim import param_group, step_lr
+
+
+def partition_params(params):
+    """Split the param tree into (trainable, frozen) by the reference's
+    freezing policy (main_trans.py:211-270)."""
+    trainable = {k: v for k, v in params.items() if param_group((jax.tree_util.DictKey(k),)) != "frozen"}
+    frozen = {k: v for k, v in params.items() if k not in trainable}
+    return trainable, frozen
+
+
+def merge_params(trainable, frozen):
+    out = dict(frozen)
+    out.update(trainable)
+    return out
+
+
+def make_optimizer(trainable, train_cfg: TrainConfig, steps_per_epoch: int):
+    sched = step_lr(train_cfg.lr, train_cfg.decay_epoch, train_cfg.decay, steps_per_epoch)
+    tx = optax.adam(sched)
+    if train_cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, train_cfg.accum_steps)
+    return tx
+
+
+def make_train_step(cfg: AVEModelConfig, tx, *, donate=True):
+    @functools.partial(jax.jit, donate_argnums=(0, 2, 3) if donate else ())
+    def train_step(trainable, frozen, state, opt_state, batch, rng):
+        def loss_fn(tr, st):
+            params = merge_params(tr, frozen)
+            out, new_state = ave.forward(
+                params, st, batch["wave"], batch["image"], cfg, train=True,
+                rng=rng, mixup_lambda=batch.get("mixup_lambda"))
+            return losses.ave_loss(out, batch["gt"]), (out, new_state)
+
+        (loss, (out, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable, state)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        acc = ave_accuracy(out["is_event_scores"], out["event_scores"], batch["gt"])
+        return trainable, new_state, opt_state, {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_eval_step(cfg: AVEModelConfig):
+    @jax.jit
+    def eval_step(trainable, frozen, state, batch):
+        params = merge_params(trainable, frozen)
+        out, _ = ave.forward(params, state, batch["wave"], batch["image"], cfg,
+                             train=False)
+        correct_frac = ave_accuracy(out["is_event_scores"], out["event_scores"],
+                                    batch["gt"]) / 100.0
+        return {"correct_frac": correct_frac, "outputs": out}
+
+    return eval_step

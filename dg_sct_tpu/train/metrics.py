@@ -1,0 +1,103 @@
+"""Evaluation metrics.
+
+AVE accuracy mirrors `compute_accuracy_supervised` (`DG-SCT/AVE/main_trans.py:309-325`);
+segment/event-level F1 (AVVP) mirrors `utils/eval_metrics.py:3-295`.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ave_accuracy(is_event_scores, event_scores, gt):
+    """is_event_scores (B,T) logits, event_scores (B,28), gt (B,T,29) one-hot.
+
+    Per-segment prediction: background (28) unless sigmoid(is_event) > 0.5, in
+    which case the clip-level argmax class. Returns % accuracy (scalar).
+    """
+    targets = jnp.argmax(gt, axis=-1)                     # (B, T)
+    pos = jax.nn.sigmoid(is_event_scores) > 0.5
+    cls = jnp.argmax(event_scores, axis=-1)[:, None]      # (B, 1)
+    pred = jnp.where(pos, cls, 28)
+    return 100.0 * jnp.mean((pred == targets).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# AVVP segment/event-level F1 (numpy host metrics, mirrors eval_metrics.py)
+# ---------------------------------------------------------------------------
+
+def segment_f1(pred, gt):
+    """pred/gt: (C, T) binary. Returns (precision, recall, f1) on positives."""
+    tp = float(np.sum(pred * gt))
+    fp = float(np.sum(pred * (1 - gt)))
+    fn = float(np.sum((1 - pred) * gt))
+    p = tp / (tp + fp) if tp + fp > 0 else 0.0
+    r = tp / (tp + fn) if tp + fn > 0 else 0.0
+    f = 2 * p * r / (p + r) if p + r > 0 else 0.0
+    return p, r, f
+
+
+def event_level_f1(pred, gt):
+    """Event-level F1: contiguous positive runs must overlap >= 50% (mirrors
+    `event_level` in eval_metrics.py)."""
+    def runs(x):
+        out = []
+        start = None
+        for t in range(len(x)):
+            if x[t] and start is None:
+                start = t
+            if (not x[t] or t == len(x) - 1) and start is not None:
+                end = t if not x[t] else t + 1
+                out.append((start, end))
+                start = None
+        return out
+
+    def iou(a, b):
+        inter = max(0, min(a[1], b[1]) - max(a[0], b[0]))
+        union = max(a[1], b[1]) - min(a[0], b[0])
+        return inter / union if union > 0 else 0.0
+
+    tp = fp = fn = 0
+    for c in range(pred.shape[0]):
+        pe, ge = runs(pred[c]), runs(gt[c])
+        matched = set()
+        for e in pe:
+            hit = False
+            for i, g in enumerate(ge):
+                if i not in matched and iou(e, g) >= 0.5:
+                    matched.add(i)
+                    hit = True
+                    break
+            tp += hit
+            fp += not hit
+        fn += len(ge) - len(matched)
+    p = tp / (tp + fp) if tp + fp > 0 else 0.0
+    r = tp / (tp + fn) if tp + fn > 0 else 0.0
+    f = 2 * p * r / (p + r) if p + r > 0 else 0.0
+    return p, r, f
+
+
+def mask_iou(pred, gt, eps=1e-7):
+    """Binary mask IoU averaged over the batch (AVS `utility.py:45`)."""
+    pred = (pred > 0.5).astype(np.float32).reshape(pred.shape[0], -1)
+    gt = (gt > 0.5).astype(np.float32).reshape(gt.shape[0], -1)
+    inter = (pred * gt).sum(-1)
+    union = pred.sum(-1) + gt.sum(-1) - inter
+    return float(np.mean(inter / (union + eps)))
+
+
+def f_measure(pred, gt, beta2=0.3, eps=1e-7):
+    """F_beta (beta^2=0.3) over soft predictions (AVS `Eval_Fmeasure`,
+    utility.py:88; single adaptive threshold = 2x mean, the dominant term)."""
+    scores = []
+    for i in range(pred.shape[0]):
+        p = pred[i].reshape(-1)
+        g = (gt[i].reshape(-1) > 0.5).astype(np.float32)
+        th = min(2 * p.mean(), 1.0 - eps)
+        pb = (p >= th).astype(np.float32)
+        tp = (pb * g).sum()
+        prec = tp / (pb.sum() + eps)
+        rec = tp / (g.sum() + eps)
+        scores.append((1 + beta2) * prec * rec / (beta2 * prec + rec + eps))
+    return float(np.mean(scores))

@@ -1,0 +1,96 @@
+"""Checkpoint save/load.
+
+The reference saves bare `state_dict` files keyed by metric
+(`main_trans.py:294-298`) and never persists optimizer/scheduler/RNG state
+(SURVEY.md §5). We improve on that: `save_train_state` persists params, model
+state (BN stats), optimizer state and the RNG key together so training resumes
+bit-exactly — while `save_params`/`load_params` keep the lightweight
+params-only flow for eval.
+
+Format: a single `.npz` of path-flattened arrays ("a/b/0/c" keys). Portable,
+dependency-free, and mmap-friendly for fast cold starts.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_params(path: str, tree) -> None:
+    flat = _flatten(jax.device_get(tree))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params(path: str):
+    with np.load(path, allow_pickle=False) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+def save_train_state(path: str, *, params, state, opt_state, rng_key, step: int,
+                     metadata: dict | None = None) -> None:
+    bundle = {
+        "params": params,
+        "state": state,
+        "opt_state": jax.tree_util.tree_map(np.asarray, jax.device_get(opt_state)),
+        "rng_key": jax.device_get(rng_key),
+        "step": np.asarray(step),
+    }
+    save_params(path, {"bundle": bundle})
+    if metadata:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(metadata, f)
+
+
+def load_train_state(path: str, opt_state_template=None):
+    """`opt_state_template` (e.g. `tx.init(params)`) restores optax's
+    namedtuple structure, which the npz roundtrip flattens to lists."""
+    tree = load_params(path)["bundle"]
+    opt_state = tree["opt_state"]
+    if opt_state_template is not None:
+        opt_state = restore_structure(opt_state_template, opt_state)
+    return tree["params"], tree["state"], opt_state, tree["rng_key"], int(tree["step"])
+
+
+def restore_structure(template, loaded):
+    """Re-hang loaded leaves on the template's treedef (positional)."""
+    leaves = jax.tree_util.tree_leaves(loaded)
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

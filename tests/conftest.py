@@ -1,5 +1,6 @@
 """Force tests onto a virtual 8-device CPU mesh (the TPU-native analogue of
-multi-node simulation — see SURVEY.md §4)."""
+multi-node simulation — see SURVEY.md §4), with a persistent compilation cache
+so reruns skip XLA compiles."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -10,3 +11,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -113,7 +113,7 @@ def test_window_attention_v1_shifted_mask():
     key = jax.random.PRNGKey(0)
     params = W.attention_v1_init(key, C, ws, heads)
     out = W.shifted_window_attention(
-        lambda w, m: W.window_attention_v1(params, w, num_heads=heads, ws=ws, mask=m),
+        lambda w, m, nw: W.window_attention_v1(params, w, num_heads=heads, ws=ws, mask=m, nW=nw),
         x, H=H, W=H, ws=ws, shift=2)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()

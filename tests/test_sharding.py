@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh — the
+TPU-native analogue of multi-node simulation (the reference never had this;
+SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dg_sct_tpu.configs import TrainConfig
+from dg_sct_tpu.models import ave
+from dg_sct_tpu.parallel import mesh as M
+from dg_sct_tpu.train import ave_train
+from tests.test_ave_model import tiny_cfg
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_eval_matches_single_device():
+    cfg = tiny_cfg()
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    tr, fr = ave_train.partition_params(params)
+    estep = ave_train.make_eval_step(cfg)
+
+    B = 8
+    rs = np.random.RandomState(0)
+    gt = np.zeros((B, cfg.num_frames, 29), np.float32)
+    gt[:, :, 1] = 1.0
+    batch = {
+        "wave": jnp.asarray(rs.randn(B, cfg.num_frames, cfg.htsat.frontend.clip_samples).astype(np.float32)),
+        "image": jnp.asarray(rs.rand(B, cfg.num_frames, 64, 64, 3).astype(np.float32)),
+        "gt": jnp.asarray(gt),
+    }
+    single = estep(tr, fr, state, batch)
+
+    m = M.make_mesh(8)
+    tr_r, fr_r, state_r = (M.replicate(t, m) for t in (tr, fr, state))
+    batch_s = M.shard_batch(batch, m)
+    sharded = estep(tr_r, fr_r, state_r, batch_s)
+    np.testing.assert_allclose(float(single["correct_frac"]),
+                               float(sharded["correct_frac"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(single["outputs"]["event_scores"]),
+                               np.asarray(sharded["outputs"]["event_scores"]),
+                               atol=1e-4)
+
+
+def test_sharded_train_step_runs():
+    cfg = tiny_cfg()
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    tr, fr = ave_train.partition_params(params)
+    tx = ave_train.make_optimizer(tr, TrainConfig(accum_steps=1), steps_per_epoch=10)
+    opt_state = tx.init(tr)
+    step = ave_train.make_train_step(cfg, tx, donate=False)
+
+    m = M.make_mesh(8)
+    B = 8
+    rs = np.random.RandomState(1)
+    gt = np.zeros((B, cfg.num_frames, 29), np.float32)
+    gt[:, :, 2] = 1.0
+    batch = M.shard_batch({
+        "wave": jnp.asarray(rs.randn(B, cfg.num_frames, cfg.htsat.frontend.clip_samples).astype(np.float32)),
+        "image": jnp.asarray(rs.rand(B, cfg.num_frames, 64, 64, 3).astype(np.float32)),
+        "gt": jnp.asarray(gt),
+    }, m)
+    tr_r, fr_r, state_r = (M.replicate(t, m) for t in (tr, fr, state))
+    opt_r = M.replicate(opt_state, m)
+    tr2, state2, opt2, metrics = step(tr_r, fr_r, state_r, opt_r, batch,
+                                      jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    # updated trainable params stay replicated (no sharding leak)
+    leaf = jax.tree_util.tree_leaves(tr2)[0]
+    assert leaf.sharding.is_fully_replicated
