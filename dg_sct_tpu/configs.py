@@ -169,6 +169,47 @@ class AVEModelConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class AVVPModelConfig:
+    """AVVP (`MGN_Net`, `DG-SCT/AVVP/nets/mgn.py:417-763`) model config.
+    Defaults mirror AVVP/train.sh + main.py argparse (dim 128, depths 3/3/6,
+    soft assignment)."""
+    swin: SwinV2Config = dataclasses.field(default_factory=SwinV2Config)
+    htsat: HTSATConfig = dataclasses.field(default_factory=HTSATConfig)
+    adapter: AdapterConfig = dataclasses.field(default_factory=AdapterConfig)
+    num_frames: int = 10
+    num_classes: int = 25
+    dim: int = 128
+    depth_aud: int = 3
+    depth_vis: int = 3
+    depth_av: int = 6
+    unimodal_assign: str = "soft"
+    crossmodal_assign: str = "soft"
+    compute_dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class AVSModelConfig:
+    """AVS segmentation model (`Pred_endecoder`,
+    `DG-SCT/AVS/avs_scripts/avs_s4/model/PVT_AVSModel.py:584-988`).
+
+    Note: the AVS adapters are built WITHOUT `num_tk` so they use the
+    VisualAdapter default of 87 latent tokens (net_trans.py:437)."""
+    swin: SwinV2Config = dataclasses.field(default_factory=SwinV2Config)
+    htsat: HTSATConfig = dataclasses.field(default_factory=HTSATConfig)
+    adapter: AdapterConfig = dataclasses.field(
+        default_factory=lambda: AdapterConfig(num_tokens=87))
+    num_frames: int = 5
+    channel: int = 256
+    mask_size: int = 224
+    tpavi_stages: tuple = (0, 1, 2, 3)
+    tpavi_vv_flag: bool = False
+    tpavi_va_flag: bool = True
+    # decoder scale grid: (stage resolution -> pvt-style resolution)
+    scale_sizes: tuple = (56, 28, 14, 7)
+    compute_dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """AVE training recipe. Reference: `DG-SCT/AVE/main_trans.py` + `train.sh`
     (bs 8, accum 2, lr 5e-4, StepLR decay_epoch/decay, early_stop)."""

@@ -59,11 +59,13 @@ def init_adapters(key, cfg: AVEModelConfig, dtype=jnp.float32):
 
 
 def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
-            rng=None, mixup_lambda=None):
+            rng=None, mixup_lambda=None, return_stage_taps=False):
     """wave: (N, L) flattened clips; images: (N, H, W, 3) flattened frames.
 
     Returns dict with pooled features f_v (N,1,1536), f_a (N,1,768) and new
-    state. N = batch * num_frames.
+    state. N = batch * num_frames. With `return_stage_taps`, also returns the
+    per-stage visual token maps (AVS multi-scale taps, PVT_AVSModel.py:850-854;
+    the final tap is swin.norm-ed, earlier ones raw).
     """
     rngs = {}
     if rng is not None:
@@ -83,6 +85,7 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
                          for k in state["adapters"]}
     acfg = cfg.adapter
     v_maps = a_maps = None
+    stage_taps = []
 
     for s_idx, stage in enumerate(layout):
         for (vb, ab, ai) in stage:
@@ -129,6 +132,10 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
             f_v = f_v + v_res
             f_a = f_a + a_res
 
+        if return_stage_taps:
+            is_last = s_idx == len(layout) - 1
+            stage_taps.append(layer_norm(params["swin"]["norm"], f_v) if is_last else f_v)
+
         if "downsample" in params["swin"]["layers"][s_idx]:
             f_v = S.patch_merging(params["swin"]["layers"][s_idx]["downsample"],
                                   f_v, cfg.swin.stage_resolution(s_idx))
@@ -143,4 +150,7 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
     f_a = jnp.einsum("bon,bnc->boc", a_maps, f_a)   # (N, 1, 768)
 
     new_state = {"htsat": new_frontend_state, "adapters": new_adapter_state}
-    return {"f_v": f_v, "f_a": f_a}, new_state
+    out = {"f_v": f_v, "f_a": f_a}
+    if return_stage_taps:
+        out["stage_taps"] = stage_taps
+    return out, new_state

@@ -177,6 +177,31 @@ def patch_embed(params, x, patch):
 
 
 # ---------------------------------------------------------------------------
+# spatial convs (NHWC; used by the AVS decoder)
+# ---------------------------------------------------------------------------
+
+def conv2d_init(key, kh, kw, in_ch, out_ch, bias=True, dtype=jnp.float32):
+    kw_, kb = jax.random.split(key)
+    fan_in = kh * kw * in_ch
+    p = {"kernel": kaiming_uniform(kw_, (kh, kw, in_ch, out_ch), fan_in, dtype)}
+    if bias:
+        bound = 1.0 / math.sqrt(fan_in)
+        p["bias"] = jax.random.uniform(kb, (out_ch,), dtype, -bound, bound)
+    return p
+
+
+def conv2d(params, x, *, stride=1, padding="SAME", dilation=1):
+    """x: (N, H, W, C) -> (N, H', W', C')."""
+    y = jax.lax.conv_general_dilated(
+        x, params["kernel"], window_strides=(stride, stride), padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+# ---------------------------------------------------------------------------
 # stochastic ops
 # ---------------------------------------------------------------------------
 

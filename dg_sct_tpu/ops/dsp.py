@@ -88,11 +88,15 @@ def _cubic_kernel(x, a=-0.75):
 
 
 @functools.lru_cache(maxsize=None)
-def bicubic_resize_matrix(n_in: int, n_out: int, align_corners: bool = True) -> np.ndarray:
-    """(n_out, n_in) matrix M with (M @ x) == torch F.interpolate(x, n_out,
-    mode='bicubic'/'cubic') along one axis. Bicubic resampling is linear in the
-    input, so the resize inside `reshape_wav2img` (htsat.py:726) becomes a single
-    matmul against a baked constant — exact, and MXU-friendly."""
+def resize_matrix(n_in: int, n_out: int, *, kernel: str = "cubic",
+                  align_corners: bool = True) -> np.ndarray:
+    """(n_out, n_in) matrix M with (M @ x) == torch F.interpolate along one
+    axis (mode='bicubic'/'bilinear', matching align_corners semantics).
+
+    Separable resampling is linear in the input, so every interpolate in the
+    reference (reshape_wav2img htsat.py:726; AVS multi-scale resizes
+    PVT_AVSModel.py:908-916; FPN upsamples) becomes baked-constant matmuls —
+    exact and MXU-friendly."""
     M = np.zeros((n_out, n_in), np.float64)
     if n_in == n_out and align_corners:
         return np.eye(n_out, dtype=np.float32)
@@ -104,11 +108,29 @@ def bicubic_resize_matrix(n_in: int, n_out: int, align_corners: bool = True) -> 
         src = (np.arange(n_out) + 0.5) * scale - 0.5
     i0 = np.floor(src).astype(np.int64)
     frac = src - i0
-    for tap in range(-1, 3):
-        w = _cubic_kernel(tap - frac)
+    if kernel == "cubic":
+        taps, kfn = range(-1, 3), _cubic_kernel
+    else:  # linear
+        taps, kfn = range(0, 2), lambda x: np.maximum(0.0, 1.0 - np.abs(x))
+    for tap in taps:
+        w = kfn(tap - frac)
         idx = np.clip(i0 + tap, 0, n_in - 1)
         np.add.at(M, (np.arange(n_out), idx), w)
     return M.astype(np.float32)
+
+
+def bicubic_resize_matrix(n_in: int, n_out: int, align_corners: bool = True) -> np.ndarray:
+    return resize_matrix(n_in, n_out, kernel="cubic", align_corners=align_corners)
+
+
+def resize_2d(x, out_h, out_w, *, kernel="cubic", align_corners=False):
+    """Separable torch-compatible resize on (N, H, W, C) via two matmuls."""
+    Mh = jnp.asarray(resize_matrix(x.shape[1], out_h, kernel=kernel,
+                                   align_corners=align_corners))
+    Mw = jnp.asarray(resize_matrix(x.shape[2], out_w, kernel=kernel,
+                                   align_corners=align_corners))
+    x = jnp.einsum("oh,nhwc->nowc", Mh, x)
+    return jnp.einsum("ow,nhwc->nhoc", Mw, x)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""AVS model structural tests (tiny config) + TPAVI / FPN / loss units."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dg_sct_tpu.configs import AVSModelConfig, AdapterConfig
+from dg_sct_tpu.models import avs, tpavi as TP
+from dg_sct_tpu.train import avs_train
+from tests.test_ave_model import tiny_cfg
+
+
+def tiny_avs_cfg():
+    base = tiny_cfg()
+    return AVSModelConfig(swin=base.swin, htsat=base.htsat,
+                          adapter=AdapterConfig(reduction_factor=2, num_tokens=4),
+                          num_frames=2, channel=32, mask_size=64,
+                          # tiny swin stages: 16/8/4/2 -> pvt-ish grid
+                          scale_sizes=(14, 7, 4, 2), tpavi_stages=(0, 3))
+
+
+def test_tpavi_identity_at_init():
+    """W_z BN scale is zero-init (TPAVI.py:62) -> block ~= LayerNorm(x)."""
+    params, state = TP.init_tpavi(jax.random.PRNGKey(0), 16)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 4, 4, 16).astype(np.float32))
+    audio = jnp.asarray(np.random.RandomState(1).randn(2, 3, 128).astype(np.float32))
+    z, a, _ = TP.tpavi(params, state, x, audio, train=False)
+    assert z.shape == x.shape
+    assert a.shape == (2, 3, 16)
+    # zero-scaled BN means residual branch contributes only its (zero-init) bias
+    mu = np.mean(np.asarray(x), axis=-1, keepdims=True)
+    sd = np.std(np.asarray(x), axis=-1, keepdims=True)
+    expect = (np.asarray(x) - mu) / np.sqrt(sd ** 2 + 1e-5)
+    np.testing.assert_allclose(np.asarray(z), expect, atol=1e-4)
+
+
+def test_fpn_upsamples():
+    p = avs.init_feature_fusion_block(jax.random.PRNGKey(0), 8)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 7, 7, 8).astype(np.float32))
+    y = avs.feature_fusion_block(p, x)
+    assert y.shape == (2, 14, 14, 8)
+    skip = jnp.asarray(np.random.RandomState(1).randn(2, 7, 7, 8).astype(np.float32))
+    y2 = avs.feature_fusion_block(p, x, skip)
+    assert y2.shape == (2, 14, 14, 8)
+
+
+def test_bilinear_resize_matches_torch():
+    import torch
+    from dg_sct_tpu.ops import dsp
+    x = np.random.RandomState(0).randn(2, 7, 7, 3).astype(np.float32)
+    ours = np.asarray(dsp.resize_2d(jnp.asarray(x), 14, 14, kernel="linear",
+                                    align_corners=True))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=2,
+        mode="bilinear", align_corners=True).numpy().transpose(0, 2, 3, 1)
+    assert np.max(np.abs(ours - ref)) < 1e-5
+
+    ours = np.asarray(dsp.resize_2d(jnp.asarray(x), 14, 14, kernel="cubic",
+                                    align_corners=False))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(14, 14),
+        mode="bicubic", align_corners=False).numpy().transpose(0, 2, 3, 1)
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+@pytest.mark.slow
+def test_tiny_avs_forward_and_loss():
+    cfg = tiny_avs_cfg()
+    params, state = avs.init_avs_model(jax.random.PRNGKey(0), cfg)
+    B, T = 1, cfg.num_frames
+    rs = np.random.RandomState(0)
+    imgs = jnp.asarray(rs.rand(B, T, 64, 64, 3).astype(np.float32))
+    wave = jnp.asarray(rs.randn(B, T, cfg.htsat.frontend.clip_samples).astype(np.float32))
+    out, new_state = avs.forward(params, state, imgs, wave, cfg, train=False)
+    assert out["pred"].shape == (B * T, 64, 64, 1)
+    assert len(out["feature_map_list"]) == 4
+    assert out["a_fea_list"][0] is not None and out["a_fea_list"][1] is None
+    assert np.isfinite(np.asarray(out["pred"])).all()
+
+    mask = jnp.asarray((rs.rand(B, 64, 64, 1) > 0.5).astype(np.float32))
+    loss = avs_train.f1_iou_bce_loss(out["pred"], mask, num_frames=T)
+    assert np.isfinite(float(loss))
+    loss_sa = avs_train.iou_semantic_aware_loss(
+        out, mask, lambda_1=0.5, count_stages=(0,), sa_loss_flag=True, num_frames=T)
+    assert np.isfinite(float(loss_sa))
+
+    masks_all = jnp.asarray((rs.rand(B * T, 64, 64, 1) > 0.5).astype(np.float32))
+    loss_ms3 = avs_train.f5_iou_bce_loss(out["pred"], masks_all)
+    assert np.isfinite(float(loss_ms3))
+
+
+def test_avs_metrics():
+    from dg_sct_tpu.train.metrics import f_measure, mask_iou
+    rs = np.random.RandomState(0)
+    gt = (rs.rand(4, 32, 32) > 0.5).astype(np.float32)
+    assert mask_iou(gt, gt) == pytest.approx(1.0)
+    assert f_measure(gt, gt) > 0.95
+    assert mask_iou(1 - gt, gt) < 0.1
