@@ -210,6 +210,21 @@ class AVSModelConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class AVQAModelConfig:
+    """AVQA stage-2 (`AVQA_Fusion_Net`, `net_grd_avst/net_avst.py:264-626`).
+    Question vocab 93 (live-built, max_len 14), answer vocab 42."""
+    swin: SwinV2Config = dataclasses.field(default_factory=SwinV2Config)
+    htsat: HTSATConfig = dataclasses.field(default_factory=HTSATConfig)
+    adapter: AdapterConfig = dataclasses.field(default_factory=AdapterConfig)
+    num_frames: int = 10
+    embed_dim: int = 1536
+    qst_vocab_size: int = 93
+    ans_vocab_size: int = 42
+    max_qst_len: int = 14
+    compute_dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """AVE training recipe. Reference: `DG-SCT/AVE/main_trans.py` + `train.sh`
     (bs 8, accum 2, lr 5e-4, StepLR decay_epoch/decay, early_stop)."""

@@ -1,1 +1,1 @@
-from . import ave  # noqa: F401
+from . import ave, avqa, avs, avvp  # noqa: F401

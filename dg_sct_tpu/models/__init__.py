@@ -1,1 +1,1 @@
-from . import adapter, ave, htsat, interleave, swinv2  # noqa: F401
+from . import adapter, ave, avqa, avs, avvp, grouping, htsat, interleave, swinv2, tpavi  # noqa: F401

@@ -144,13 +144,14 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
                                   f_a, cfg.htsat.stage_resolution(s_idx))
 
     f_v = layer_norm(params["swin"]["norm"], f_v)
+    vis_tokens = f_v                                 # (N, 36, 1536) full grid
 
     # spatial-attention pooling with the last p2 maps (net_trans.py:922-924)
     f_v = jnp.einsum("bon,bnc->boc", v_maps, f_v)   # (N, 1, 1536)
     f_a = jnp.einsum("bon,bnc->boc", a_maps, f_a)   # (N, 1, 768)
 
     new_state = {"htsat": new_frontend_state, "adapters": new_adapter_state}
-    out = {"f_v": f_v, "f_a": f_a}
+    out = {"f_v": f_v, "f_a": f_a, "vis_tokens": vis_tokens}
     if return_stage_taps:
         out["stage_taps"] = stage_taps
     return out, new_state

@@ -66,3 +66,26 @@ def bilstm(params, x):
 def lstm(params, x):
     """Unidirectional single-layer LSTM, batch_first."""
     return _lstm_scan(params, x)
+
+
+def lstm_with_state(params, x):
+    """Unidirectional single-layer LSTM returning (outputs, (h_T, c_T)).
+    Needed by the AVQA QstEncoder which consumes the final hidden AND cell
+    states (net_avst.py:253-257)."""
+    B, T, D = x.shape
+    H = params["wh"].shape[0]
+    xp = (x @ params["wi"] + (params["bi"] + params["bh"])).transpose(1, 0, 2)
+
+    def step(carry, inp):
+        h, c = carry
+        gates = inp + h @ params["wh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    h0 = jnp.zeros((B, H), x.dtype)
+    (hT, cT), hs = jax.lax.scan(step, (h0, h0), xp)
+    return hs.transpose(1, 0, 2), (hT, cT)

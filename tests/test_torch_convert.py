@@ -18,7 +18,11 @@ def fake_torch_sd(cfg):
     sd = {}
 
     def add(name, *shape):
-        sd[name] = rs.randn(*shape).astype(np.float32)
+        if name.endswith("running_var"):
+            # variances must be positive (negative var -> NaN through rsqrt)
+            sd[name] = rs.rand(*shape).astype(np.float32) + 0.5
+        else:
+            sd[name] = rs.randn(*shape).astype(np.float32) * 0.05
 
     # ---- swin (timm swinv2) ----
     E = cfg.swin.embed_dim
