@@ -225,6 +225,44 @@ class AVQAModelConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    """OpenAI CLIP ViT-B/32 (vendored at `pretrain/nets/clip/model.py`)."""
+    image_size: int = 224
+    vision_patch: int = 32
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    embed_dim: int = 512
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class PromptConfig:
+    """CoOp/CoCoOp prompt learning (`pretrain/nets/prompt_learner.py:131-283`)."""
+    n_ctx: int = 4
+    ctx_init: str = "a photo of a"
+    class_token_position: str = "end"
+    weak: bool = True  # weak=False appends a 'background' class
+
+
+@dataclasses.dataclass(frozen=True)
+class PretrainModelConfig:
+    """Pretrain suite model (`pretrain/nets/net_trans.py:601-970`):
+    CLIP ViT-B/32 x CLAP-HTSAT interleave with per-block adapter pairs."""
+    clip: CLIPConfig = dataclasses.field(default_factory=CLIPConfig)
+    htsat: HTSATConfig = dataclasses.field(default_factory=HTSATConfig)
+    adapter: AdapterConfig = dataclasses.field(default_factory=AdapterConfig)
+    prompt: PromptConfig = dataclasses.field(default_factory=PromptConfig)
+    num_frames: int = 10
+    num_classes: int = 141  # VGGSound-AVEL 40K categories
+    compute_dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """AVE training recipe. Reference: `DG-SCT/AVE/main_trans.py` + `train.sh`
     (bs 8, accum 2, lr 5e-4, StepLR decay_epoch/decay, early_stop)."""

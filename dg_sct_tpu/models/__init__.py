@@ -1,1 +1,2 @@
-from . import adapter, ave, avqa, avs, avvp, grouping, htsat, interleave, swinv2, tpavi  # noqa: F401
+from . import (adapter, ave, avqa, avqa_grounding, avs, avvp, clip, grouping,
+               htsat, interleave, pretrain, prompt_learner, swinv2, tpavi)  # noqa: F401

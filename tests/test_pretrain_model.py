@@ -1,0 +1,101 @@
+"""Pretrain suite tests: CLIP towers vs torch mirror, prompt learner, tiny
+pretrain forward."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from dg_sct_tpu.configs import (AVEModelConfig, AdapterConfig, CLIPConfig,
+                                PretrainModelConfig, PromptConfig)
+from dg_sct_tpu.models import clip as C
+from dg_sct_tpu.models import pretrain as PT
+from dg_sct_tpu.models import prompt_learner as PL
+from tests.test_ave_model import tiny_cfg
+
+
+def tiny_clip():
+    return CLIPConfig(image_size=32, vision_patch=8, vision_width=24,
+                      vision_layers=2, vision_heads=2, embed_dim=16,
+                      context_length=77, text_width=16, text_layers=2, text_heads=2)
+
+
+def test_quick_gelu_matches_torch():
+    x = np.linspace(-3, 3, 13).astype(np.float32)
+    ours = np.asarray(C.quick_gelu(jnp.asarray(x)))
+    ref = (torch.from_numpy(x) * torch.sigmoid(1.702 * torch.from_numpy(x))).numpy()
+    assert np.max(np.abs(ours - ref)) < 1e-6
+
+
+def test_clip_text_encoder_causal():
+    cfg = tiny_clip()
+    params = C.init_text(jax.random.PRNGKey(0), cfg)
+    tok = np.zeros((2, 77), np.int32)
+    tok[0, :5] = [49406, 10, 20, 30, 49407]
+    tok[1, :3] = [49406, 11, 49407]
+    feats = C.encode_text(params, jnp.asarray(tok), cfg)
+    assert feats.shape == (2, 16)
+    # causal mask: changing a token AFTER the EOT must not change features
+    tok2 = tok.copy()
+    tok2[0, 50] = 123
+    f2 = C.encode_text(params, jnp.asarray(tok2), cfg)
+    np.testing.assert_allclose(np.asarray(feats[0]), np.asarray(f2[0]), atol=1e-5)
+
+
+def test_prompt_buffers_and_assembly():
+    ccfg = tiny_clip()
+    pcfg = PromptConfig(ctx_init="a photo of a")
+    emb = np.random.RandomState(0).randn(49408, ccfg.text_width).astype(np.float32) * 0.02
+    buffers = PL.build_prompt_buffers(["dog", "violin fiddle"], emb, pcfg, ccfg)
+    assert buffers["n_ctx"] == 4
+    assert buffers["token_prefix"].shape == (2, 1, ccfg.text_width)
+    assert buffers["token_suffix"].shape == (2, 77 - 5, ccfg.text_width)
+
+    params = PL.init_prompt_learner(jax.random.PRNGKey(1), buffers,
+                                    ccfg.embed_dim, ccfg.text_width)
+    for pos in ("end", "middle", "front"):
+        prompts = PL.build_prompts(params, buffers, class_token_position=pos)
+        assert prompts.shape == (2, 77, ccfg.text_width)
+    # 'end' assembly: [prefix, ctx, suffix]
+    pe = PL.build_prompts(params, buffers, class_token_position="end")
+    np.testing.assert_allclose(np.asarray(pe[:, 1:5]),
+                               np.broadcast_to(np.asarray(params["ctx"])[None], (2, 4, ccfg.text_width)),
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_tiny_pretrain_forward():
+    base = tiny_cfg()
+    ccfg = tiny_clip()
+    cfg = PretrainModelConfig(clip=ccfg, htsat=base.htsat,
+                              adapter=AdapterConfig(reduction_factor=2, num_tokens=4),
+                              num_frames=2, num_classes=3)
+    params, state, buffers = PT.init_pretrain_model(
+        jax.random.PRNGKey(0), cfg, ["dog", "cat", "bird"])
+    B, T = 2, cfg.num_frames
+    rs = np.random.RandomState(0)
+    wave = jnp.asarray(rs.randn(B, T, cfg.htsat.frontend.clip_samples).astype(np.float32))
+    imgs = jnp.asarray(rs.rand(B, T, 32, 32, 3).astype(np.float32))
+    out, _ = PT.forward(params, state, buffers, wave, imgs, cfg, train=False)
+    assert out["event_scores"].shape == (B * T, 3)
+    assert out["logits_audio_image"].shape == (B, B)
+    for v in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(v)).all()
+
+    from dg_sct_tpu.train import pretrain_train
+    labels = jnp.asarray(np.eye(3, dtype=np.float32)[[0, 2]])
+    loss = pretrain_train.pretrain_loss(out, labels, epoch=1, num_frames=T)
+    assert np.isfinite(float(loss))
+
+    acc = pretrain_train.zero_shot_accuracy(
+        out["event_scores"], jnp.asarray(np.tile(np.eye(3, dtype=np.float32)[[0]], (B, T, 1)).reshape(B, T, 3)))
+    assert 0.0 <= float(acc) <= 100.0
+
+
+def test_few_shot_subsample():
+    from dg_sct_tpu.train.pretrain_train import few_shot_subsample
+    labels = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2])
+    keep = few_shot_subsample(labels, 2, seed=0)
+    kept_labels = labels[keep]
+    for c in (0, 1, 2):
+        assert (kept_labels == c).sum() == 2
