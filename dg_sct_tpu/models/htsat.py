@@ -101,6 +101,9 @@ def frontend(params, state, wave, cfg: HTSATConfig, *, train: bool,
     if train and mixup_lambda is not None:
         x = dsp.do_mixup(x, mixup_lambda)
     img = dsp.reshape_wav2img(x, fcfg)               # (N, spec, spec, 1)
+    # DSP runs in f32 for log-domain accuracy; the tower runs in the params'
+    # compute dtype (bf16 on TPU) — cast at the boundary.
+    img = img.astype(params["patch_embed"]["kernel"].dtype)
     tokens = patch_embed(params["patch_embed"], img, cfg.patch_size)
     return tokens, {"bn0": bn0_state}
 

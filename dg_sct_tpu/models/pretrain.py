@@ -55,9 +55,12 @@ def init_pretrain_model(key, cfg: PretrainModelConfig, classnames,
     n_vit = cfg.clip.vision_layers
     vit_tokens = (cfg.clip.image_size // cfg.clip.vision_patch) ** 2 + 1  # 50
     blocks = htsat_block_list(cfg)
+    # the pretrain interleave pairs ViT blocks 1:1 with HTS-AT blocks
+    # (net_trans.py:861-908: 12 ViT blocks x 12 HTS-AT blocks)
+    assert len(blocks) == n_vit, (len(blocks), n_vit)
     adapters = {n: [] for n in ("a_p1", "v_p1", "a_p2", "v_p2")}
     adapter_state = {n: [] for n in ("a_p1", "v_p1", "a_p2", "v_p2")}
-    akeys = jax.random.split(k[3], 4 * n_vit)
+    akeys = jax.random.split(k[3], 4 * len(blocks))
     ki = 0
     for i, (s, b) in enumerate(blocks):
         a_dim = cfg.htsat.stage_dim(s)

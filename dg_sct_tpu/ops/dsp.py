@@ -151,8 +151,8 @@ def frame_signal(wave, n_fft, hop):
 
 
 def power_spectrogram(wave, cfg: AudioFrontendConfig):
-    """(N, L) -> (N, T, n_fft//2+1) power spectrogram |STFT|^2."""
-    frames = frame_signal(wave, cfg.n_fft, cfg.hop_size)
+    """(N, L) -> (N, T, n_fft//2+1) power spectrogram |STFT|^2 (f32)."""
+    frames = frame_signal(wave.astype(jnp.float32), cfg.n_fft, cfg.hop_size)
     wc, ws = dft_basis(cfg.n_fft)
     re = frames @ jnp.asarray(wc)
     im = frames @ jnp.asarray(ws)

@@ -14,9 +14,9 @@ from dg_sct_tpu.models import prompt_learner as PL
 from tests.test_ave_model import tiny_cfg
 
 
-def tiny_clip():
+def tiny_clip(vision_layers=2):
     return CLIPConfig(image_size=32, vision_patch=8, vision_width=24,
-                      vision_layers=2, vision_heads=2, embed_dim=16,
+                      vision_layers=vision_layers, vision_heads=2, embed_dim=16,
                       context_length=77, text_width=16, text_layers=2, text_heads=2)
 
 
@@ -66,7 +66,8 @@ def test_prompt_buffers_and_assembly():
 @pytest.mark.slow
 def test_tiny_pretrain_forward():
     base = tiny_cfg()
-    ccfg = tiny_clip()
+    # vision layer count must equal total HTS-AT blocks (tiny: 1+1+1+1)
+    ccfg = tiny_clip(vision_layers=sum(base.htsat.depths))
     cfg = PretrainModelConfig(clip=ccfg, htsat=base.htsat,
                               adapter=AdapterConfig(reduction_factor=2, num_tokens=4),
                               num_frames=2, num_classes=3)
