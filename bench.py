@@ -24,18 +24,27 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from dg_sct_tpu.configs import AVEModelConfig
     from dg_sct_tpu.models import ave
     from dg_sct_tpu.ops import windows as W
 
-    if os.environ.get("BENCH_PALLAS", "0") == "1":
+    if os.environ.get("BENCH_PALLAS", "1") == "1":
         W.set_pallas(True)
 
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
-    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
-    cast = lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
-    params, state = cast(params), cast(state)
+    # init on host CPU (on-device init crawls through the tunnel's RPC latency)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
+        params, state = cast(params), cast(state)
+    tpu = jax.devices()[0]
+    params = jax.device_put(params, tpu)
+    state = jax.device_put(state, tpu)
 
     B, T = int(os.environ.get("BENCH_BATCH", "8")), cfg.num_frames
 
@@ -52,8 +61,14 @@ def main():
                         .astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
     jax.block_until_ready([waves, imgs])
 
-    # compile + warmup (fetch to force execution)
-    _ = np.asarray(fwd(params, state, waves[0], imgs[0]))
+    # compile + warmup (fetch to force execution); fall back to the XLA
+    # attention path if the Pallas kernel fails to compile on this runtime
+    try:
+        _ = np.asarray(fwd(params, state, waves[0], imgs[0]))
+    except Exception:
+        W.set_pallas(False)
+        fwd = jax.jit(lambda p, s, w, i: ave.forward(p, s, w, i, cfg, train=False)[0]["event_scores"])
+        _ = np.asarray(fwd(params, state, waves[0], imgs[0]))
 
     t0 = time.perf_counter()
     outs = [np.asarray(fwd(params, state, waves[i], imgs[i])) for i in range(M)]

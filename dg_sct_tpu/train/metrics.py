@@ -78,26 +78,39 @@ def event_level_f1(pred, gt):
     return p, r, f
 
 
-def mask_iou(pred, gt, eps=1e-7):
-    """Binary mask IoU averaged over the batch (AVS `utility.py:45`)."""
-    pred = (pred > 0.5).astype(np.float32).reshape(pred.shape[0], -1)
-    gt = (gt > 0.5).astype(np.float32).reshape(gt.shape[0], -1)
+def mask_iou(pred_probs, gt, eps=1e-7):
+    """Binary mask IoU averaged over the batch, with the reference's
+    no-object special case (AVS `utility.py:45-70`): for all-background GTs,
+    IoU is measured on background agreement. pred_probs: sigmoided (N, H, W)."""
+    pred = (np.asarray(pred_probs) > 0.5).astype(np.float32).reshape(len(pred_probs), -1)
+    gt = (np.asarray(gt) > 0.5).astype(np.float32).reshape(len(gt), -1)
     inter = (pred * gt).sum(-1)
-    union = pred.sum(-1) + gt.sum(-1) - inter
+    union = np.maximum(pred, gt).sum(-1)
+    no_obj = gt.sum(-1) == 0
+    inter[no_obj] = ((1 - gt) * (1 - pred)).sum(-1)[no_obj]
+    union[no_obj] = gt.shape[-1]
     return float(np.mean(inter / (union + eps)))
 
 
-def f_measure(pred, gt, beta2=0.3, eps=1e-7):
-    """F_beta (beta^2=0.3) over soft predictions (AVS `Eval_Fmeasure`,
-    utility.py:88; single adaptive threshold = 2x mean, the dominant term)."""
-    scores = []
-    for i in range(pred.shape[0]):
-        p = pred[i].reshape(-1)
-        g = (gt[i].reshape(-1) > 0.5).astype(np.float32)
-        th = min(2 * p.mean(), 1.0 - eps)
-        pb = (p >= th).astype(np.float32)
-        tp = (pb * g).sum()
-        prec = tp / (pb.sum() + eps)
-        rec = tp / (g.sum() + eps)
-        scores.append((1 + beta2) * prec * rec / (beta2 * prec + rec + eps))
-    return float(np.mean(scores))
+def f_measure(pred_probs, gt, beta2=0.3, pr_num=255):
+    """AVS `Eval_Fmeasure` (utility.py:88-120): per-image P/R over 255
+    thresholds, F-curves averaged over non-empty-GT images, max of the
+    averaged curve. pred_probs: sigmoided (N, H, W)."""
+    pred = np.asarray(pred_probs).reshape(len(pred_probs), -1)
+    gt = (np.asarray(gt).reshape(len(gt), -1) > 0.5).astype(np.float32)
+    ths = np.linspace(0.0, 1.0 - 1e-10, pr_num)
+    avg_f = np.zeros(pr_num)
+    img_num = 0
+    for i in range(len(pred)):
+        if gt[i].mean() == 0.0:
+            continue
+        binary = pred[i][None, :] >= ths[:, None]          # (pr_num, P)
+        tp = (binary * gt[i][None, :]).sum(-1)
+        prec = tp / (binary.sum(-1) + 1e-20)
+        rec = tp / (gt[i].sum() + 1e-20)
+        f = (1 + beta2) * prec * rec / (beta2 * prec + rec)
+        avg_f += np.nan_to_num(f)
+        img_num += 1
+    if img_num == 0:
+        return 0.0
+    return float((avg_f / img_num).max())
