@@ -27,55 +27,9 @@ def ave_accuracy(is_event_scores, event_scores, gt):
 # AVVP segment/event-level F1 (numpy host metrics, mirrors eval_metrics.py)
 # ---------------------------------------------------------------------------
 
-def segment_f1(pred, gt):
-    """pred/gt: (C, T) binary. Returns (precision, recall, f1) on positives."""
-    tp = float(np.sum(pred * gt))
-    fp = float(np.sum(pred * (1 - gt)))
-    fn = float(np.sum((1 - pred) * gt))
-    p = tp / (tp + fp) if tp + fp > 0 else 0.0
-    r = tp / (tp + fn) if tp + fn > 0 else 0.0
-    f = 2 * p * r / (p + r) if p + r > 0 else 0.0
-    return p, r, f
-
-
-def event_level_f1(pred, gt):
-    """Event-level F1: contiguous positive runs must overlap >= 50% (mirrors
-    `event_level` in eval_metrics.py)."""
-    def runs(x):
-        out = []
-        start = None
-        for t in range(len(x)):
-            if x[t] and start is None:
-                start = t
-            if (not x[t] or t == len(x) - 1) and start is not None:
-                end = t if not x[t] else t + 1
-                out.append((start, end))
-                start = None
-        return out
-
-    def iou(a, b):
-        inter = max(0, min(a[1], b[1]) - max(a[0], b[0]))
-        union = max(a[1], b[1]) - min(a[0], b[0])
-        return inter / union if union > 0 else 0.0
-
-    tp = fp = fn = 0
-    for c in range(pred.shape[0]):
-        pe, ge = runs(pred[c]), runs(gt[c])
-        matched = set()
-        for e in pe:
-            hit = False
-            for i, g in enumerate(ge):
-                if i not in matched and iou(e, g) >= 0.5:
-                    matched.add(i)
-                    hit = True
-                    break
-            tp += hit
-            fp += not hit
-        fn += len(ge) - len(matched)
-    p = tp / (tp + fp) if tp + fp > 0 else 0.0
-    r = tp / (tp + fn) if tp + fn > 0 else 0.0
-    f = 2 * p * r / (p + r) if p + r > 0 else 0.0
-    return p, r, f
+# NOTE: the faithful AVVP segment/event-level F1 implementations (matching
+# eval_metrics.py per-class aggregation conventions) live in
+# `dg_sct_tpu.train.avvp_eval`.
 
 
 def mask_iou(pred_probs, gt, eps=1e-7):
