@@ -73,14 +73,23 @@ def resize_bicubic(img: np.ndarray, size: int) -> np.ndarray:
 def load_frames(frame_dir: str, video_id: str, num_frames=NUM_SEGMENTS,
                 img_size=192) -> np.ndarray:
     """Sample `num_frames` jpgs with np.linspace (dataloader.py:162-171);
-    returns (T, H, W, 3) float32 normalized."""
+    returns (T, H, W, 3) float32 normalized.
+
+    Uses the native C++ decode+resize core when available (parallel libjpeg +
+    PIL-compatible antialiased bicubic), PIL otherwise."""
     vdir = os.path.join(frame_dir, video_id)
     files = sorted(f for f in os.listdir(vdir) if f.endswith((".jpg", ".png")))
     idxs = np.linspace(0, len(files) - 1, num_frames).astype(int)
+    paths = [os.path.join(vdir, files[i]) for i in idxs]
+
+    from .. import native
+    if native.available() and all(p.endswith(".jpg") for p in paths):
+        return native.load_jpeg_batch(paths, img_size, IMAGENET_MEAN, IMAGENET_STD)
+
     from PIL import Image
     frames = []
-    for i in idxs:
-        img = np.asarray(Image.open(os.path.join(vdir, files[i])).convert("RGB"))
+    for p in paths:
+        img = np.asarray(Image.open(p).convert("RGB"))
         img = resize_bicubic(img, img_size).astype(np.float32) / 255.0
         frames.append((img - IMAGENET_MEAN) / IMAGENET_STD)
     return np.stack(frames)

@@ -1,0 +1,98 @@
+"""ctypes bindings for the native IO core (`io_core.cpp`).
+
+Compiled on demand with g++ (cached next to the source). Falls back cleanly —
+callers should check `available()` and use the PIL path otherwise.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "io_core.cpp")
+_LIB = os.path.join(_DIR, "libdgsct_io.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-ljpeg",
+           "-o", _LIB]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not _build():
+            _build_failed = True
+            return None
+    lib = ctypes.CDLL(_LIB)
+    lib.dgsct_resize_normalize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.dgsct_decode_jpeg.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.dgsct_load_jpeg_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def resize_normalize(img: np.ndarray, out_size: int, mean, std) -> np.ndarray:
+    """(H, W, 3) uint8 -> (out, out, 3) float32 antialiased-bicubic resized
+    and ImageNet-normalized (PIL-compatible)."""
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    dst = np.empty((out_size, out_size, 3), np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    rc = lib.dgsct_resize_normalize(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        img.shape[0], img.shape[1], _fptr(dst), out_size, _fptr(mean), _fptr(std))
+    if rc != 0:
+        raise RuntimeError("native resize failed")
+    return dst
+
+
+def load_jpeg_batch(paths: Sequence[str], out_size: int, mean, std) -> np.ndarray:
+    """Parallel decode+resize+normalize -> (n, out, out, 3) float32."""
+    lib = _load()
+    assert lib is not None
+    n = len(paths)
+    dst = np.empty((n, out_size, out_size, 3), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    rc = lib.dgsct_load_jpeg_batch(arr, n, _fptr(dst), out_size,
+                                   _fptr(mean), _fptr(std))
+    if rc != 0:
+        raise RuntimeError("native jpeg batch load failed")
+    return dst

@@ -1,0 +1,200 @@
+// Native data-loader core for dg_sct_tpu.
+//
+// The reference's input pipeline is Python-side PIL decode + torchvision
+// Resize inside DataLoader workers (DG-SCT/AVE/dataloader.py:61-64,162-171).
+// This library provides the same transform — JPEG decode, PIL-compatible
+// ANTIALIASED bicubic resize, ImageNet normalize — as a batched, threaded C++
+// routine exposed through ctypes, so the host feed keeps up with the TPU.
+//
+// Build: g++ -O3 -shared -fPIC -fopenmp io_core.cpp -ljpeg -o libdgsct_io.so
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct ErrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void on_error(j_common_ptr cinfo) {
+  ErrMgr* err = reinterpret_cast<ErrMgr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+// PIL-style cubic kernel (a = -0.5, matching Pillow's BICUBIC).
+inline double cubic(double x) {
+  constexpr double a = -0.5;
+  x = std::fabs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+// One axis of PIL's antialiased resampling: precompute per-output-pixel tap
+// windows with support scaled by the downscale factor.
+struct Taps {
+  std::vector<int> bounds;     // (xmin, xsize) per output pixel
+  std::vector<double> coeffs;  // ksize coeffs per output pixel
+  int ksize = 0;
+};
+
+Taps make_taps(int in_size, int out_size) {
+  Taps t;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 2.0 * filterscale;
+  t.ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  t.bounds.resize(2 * out_size);
+  t.coeffs.assign(static_cast<size_t>(out_size) * t.ksize, 0.0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(std::max(0.0, std::floor(center - support)));
+    int xmax = static_cast<int>(std::min<double>(in_size, std::ceil(center + support)));
+    int xsize = xmax - xmin;
+    double* k = &t.coeffs[static_cast<size_t>(xx) * t.ksize];
+    double ww = 0.0;
+    for (int x = 0; x < xsize; ++x) {
+      double w = cubic((x + xmin - center + 0.5) / filterscale);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.0)
+      for (int x = 0; x < xsize; ++x) k[x] /= ww;
+    t.bounds[2 * xx] = xmin;
+    t.bounds[2 * xx + 1] = xsize;
+  }
+  return t;
+}
+
+// Separable antialiased resize (H, W, 3) uint8 -> (out, out, 3) float.
+void resize_bicubic(const uint8_t* src, int h, int w, float* dst, int out) {
+  Taps tw = make_taps(w, out);
+  Taps th = make_taps(h, out);
+  // horizontal pass: (h, out, 3)
+  std::vector<float> tmp(static_cast<size_t>(h) * out * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
+    float* trow = &tmp[static_cast<size_t>(y) * out * 3];
+    for (int xx = 0; xx < out; ++xx) {
+      int xmin = tw.bounds[2 * xx], xsize = tw.bounds[2 * xx + 1];
+      const double* k = &tw.coeffs[static_cast<size_t>(xx) * tw.ksize];
+      double acc[3] = {0, 0, 0};
+      for (int x = 0; x < xsize; ++x)
+        for (int c = 0; c < 3; ++c)
+          acc[c] += row[(xmin + x) * 3 + c] * k[x];
+      // Pillow quantizes to uint8 between the two passes (8bpc fixed point)
+      for (int c = 0; c < 3; ++c)
+        trow[xx * 3 + c] = static_cast<float>(
+            std::min(255.0, std::max(0.0, std::round(acc[c]))));
+    }
+  }
+  // vertical pass
+  for (int yy = 0; yy < out; ++yy) {
+    int ymin = th.bounds[2 * yy], ysize = th.bounds[2 * yy + 1];
+    const double* k = &th.coeffs[static_cast<size_t>(yy) * th.ksize];
+    float* drow = dst + static_cast<size_t>(yy) * out * 3;
+    for (int xx = 0; xx < out * 3; ++xx) {
+      double acc = 0.0;
+      for (int y = 0; y < ysize; ++y)
+        acc += tmp[static_cast<size_t>(ymin + y) * out * 3 + xx] * k[y];
+      drow[xx] = static_cast<float>(acc);
+    }
+  }
+}
+
+bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
+                 int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = on_error;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *h = cinfo.output_height;
+  *w = cinfo.output_width;
+  out->resize(static_cast<size_t>(*h) * *w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowp = out->data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Resize + normalize an already-decoded uint8 RGB image.
+// src: (h, w, 3) uint8; dst: (out, out, 3) float32 = (x/255 - mean)/std.
+int dgsct_resize_normalize(const uint8_t* src, int h, int w, float* dst,
+                           int out, const float* mean, const float* std_) {
+  std::vector<float> resized(static_cast<size_t>(out) * out * 3);
+  resize_bicubic(src, h, w, resized.data(), out);
+  for (int i = 0; i < out * out; ++i)
+    for (int c = 0; c < 3; ++c) {
+      float v = std::min(255.0f, std::max(0.0f, resized[i * 3 + c])) / 255.0f;
+      dst[i * 3 + c] = (v - mean[c]) / std_[c];
+    }
+  return 0;
+}
+
+// Decode one JPEG buffer, resize to (out, out), normalize into dst.
+int dgsct_decode_jpeg(const uint8_t* data, long len, float* dst, int out,
+                      const float* mean, const float* std_) {
+  std::vector<uint8_t> rgb;
+  int h = 0, w = 0;
+  if (!decode_jpeg(data, static_cast<size_t>(len), &rgb, &h, &w)) return -1;
+  return dgsct_resize_normalize(rgb.data(), h, w, dst, out, mean, std_);
+}
+
+// Batched file loader: decode `n` JPEG files into (n, out, out, 3) float32,
+// parallel over files.
+int dgsct_load_jpeg_batch(const char** paths, int n, float* dst, int out,
+                          const float* mean, const float* std_) {
+  int status = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    FILE* f = fopen(paths[i], "rb");
+    if (!f) {
+#pragma omp atomic write
+      status = -1;
+      continue;
+    }
+    fseek(f, 0, SEEK_END);
+    long len = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(len);
+    size_t got = fread(buf.data(), 1, len, f);
+    fclose(f);
+    if (static_cast<long>(got) != len ||
+        dgsct_decode_jpeg(buf.data(), len, dst + static_cast<size_t>(i) * out * out * 3,
+                          out, mean, std_) != 0) {
+#pragma omp atomic write
+      status = -1;
+    }
+  }
+  return status;
+}
+
+}  // extern "C"

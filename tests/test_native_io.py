@@ -1,0 +1,58 @@
+"""Native IO core vs PIL golden reference."""
+import io
+import os
+
+import numpy as np
+import pytest
+
+from dg_sct_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native io core unavailable")
+
+MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _pil_ref(img, size):
+    from PIL import Image
+    r = np.asarray(Image.fromarray(img).resize((size, size), Image.BICUBIC),
+                   np.float32) / 255.0
+    return (r - MEAN) / STD
+
+
+def test_resize_normalize_matches_pil_downscale():
+    rs = np.random.RandomState(0)
+    img = (rs.rand(356, 473, 3) * 255).astype(np.uint8)
+    ours = native.resize_normalize(img, 192, MEAN, STD)
+    ref = _pil_ref(img, 192)
+    assert ours.shape == ref.shape
+    # PIL uses fixed-point uint8 intermediates; allow quantization tolerance
+    assert np.abs(ours - ref).max() < 0.08
+    assert np.abs(ours - ref).mean() < 0.01
+
+
+def test_resize_normalize_matches_pil_upscale():
+    rs = np.random.RandomState(1)
+    img = (rs.rand(96, 128, 3) * 255).astype(np.uint8)
+    ours = native.resize_normalize(img, 224, MEAN, STD)
+    ref = _pil_ref(img, 224)
+    assert np.abs(ours - ref).max() < 0.08
+
+
+def test_jpeg_batch(tmp_path):
+    from PIL import Image
+    rs = np.random.RandomState(2)
+    paths = []
+    for i in range(6):
+        img = (rs.rand(200, 300, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"f{i}.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(p)
+    batch = native.load_jpeg_batch(paths, 192, MEAN, STD)
+    assert batch.shape == (6, 192, 192, 3)
+    assert np.isfinite(batch).all()
+    # compare one image against PIL decode + resize (JPEG lossy: loose tol)
+    img = np.asarray(Image.open(paths[0]).convert("RGB"))
+    ref = _pil_ref(img, 192)
+    assert np.abs(batch[0] - ref).mean() < 0.02
