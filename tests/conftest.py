@@ -11,6 +11,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache")
+# NOTE: keep this cache separate from the TPU bench cache — the axon tunnel's
+# remote compile helper emits XLA:CPU AOT artifacts for a different host
+# machine, and reusing them locally miscomputes (or SIGILLs).
+jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache_cpu_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
