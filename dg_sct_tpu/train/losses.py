@@ -41,6 +41,27 @@ def info_nce(features_a, features_b, temperature=0.07):
     return 0.5 * (cross_entropy(logits, labels) + cross_entropy(logits.T, labels))
 
 
+def contrastive_loss(x0, x1, y, margin=1.0):
+    """Euclidean contrastive loss (criterion.py ContrastiveLoss, dormant in
+    the reference but part of the criterion-library surface). y: 1=similar."""
+    dist_sq = jnp.sum(jnp.square(x0 - x1), axis=1)
+    dist = jnp.sqrt(dist_sq + 1e-12)
+    mdist = jnp.maximum(margin - dist, 0.0)
+    loss = y * dist_sq + (1.0 - y) * jnp.square(mdist)
+    return jnp.mean(loss) / 2.0
+
+
+def mask_info_nce(q, k, mask, temperature=0.05):
+    """Masked InfoNCE (criterion.py MaskInfoNCELoss, dormant): standard NCE
+    over normalized q/k with positives selected by a boolean mask row."""
+    qn = q / (jnp.linalg.norm(q, axis=1, keepdims=True) + 1e-8)
+    kn = k / (jnp.linalg.norm(k, axis=1, keepdims=True) + 1e-8)
+    sim = qn @ kn.T / temperature
+    logp = jax.nn.log_softmax(sim, axis=-1)
+    pos = jnp.sum(logp * mask, axis=-1) / jnp.maximum(jnp.sum(mask, -1), 1.0)
+    return -jnp.mean(pos)
+
+
 def ave_labels(gt):
     """gt: (B, T, 29) one-hot with bg=28 (main_trans.py:118-123).
 
