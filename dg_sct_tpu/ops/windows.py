@@ -69,6 +69,23 @@ def shift_attn_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def shift_attn_mask_jnp(H: int, W: int, ws: int, shift: int):
+    """jnp-cached mask: one array object per config, so every block's trace
+    references the SAME constant (dedupes the serialized HLO)."""
+    return jnp.asarray(shift_attn_mask(H, W, ws, shift))
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index_jnp(ws_h: int, ws_w: int):
+    return jnp.asarray(relative_position_index(ws_h, ws_w).reshape(-1))
+
+
+@functools.lru_cache(maxsize=None)
+def log_cpb_coords_table_jnp(ws_h: int, ws_w: int, pretrained_ws: int = 0):
+    return jnp.asarray(log_cpb_coords_table(ws_h, ws_w, pretrained_ws))
+
+
+@functools.lru_cache(maxsize=None)
 def log_cpb_coords_table(ws_h: int, ws_w: int, pretrained_ws: int = 0) -> np.ndarray:
     """((2h-1)*(2w-1), 2) log-spaced continuous relative coords for the Swin-V2
     CPB MLP (timm 0.6.12 WindowAttention.__init__)."""
@@ -146,7 +163,7 @@ def window_attention_v1(params, x, *, num_heads, ws, mask=None, nW=1):
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bw, N, h, hd)
     q = q * (hd ** -0.5)
 
-    idx = relative_position_index(ws, ws).reshape(-1)
+    idx = relative_position_index_jnp(ws, ws)
     bias = params["rpb_table"][idx].reshape(N, N, num_heads).transpose(2, 0, 1)
 
     out = _attn_core(q, k, v, bias, mask, x.dtype, nW)
@@ -186,9 +203,9 @@ def window_attention_v2(params, x, *, num_heads, ws, mask=None, pretrained_ws=0,
     logit_scale = jnp.exp(jnp.minimum(params["logit_scale"], math.log(1.0 / 0.01)))
     qn = qn * logit_scale[:, 0, 0][None, None, :, None].astype(qn.dtype)
 
-    table = jnp.asarray(log_cpb_coords_table(ws, ws, pretrained_ws), x.dtype)
+    table = log_cpb_coords_table_jnp(ws, ws, pretrained_ws).astype(x.dtype)
     cpb = linear(params["cpb_fc2"], jax.nn.relu(linear(params["cpb_fc1"], table)))
-    idx = relative_position_index(ws, ws).reshape(-1)
+    idx = relative_position_index_jnp(ws, ws)
     bias = cpb[idx].reshape(N, N, num_heads).transpose(2, 0, 1)
     bias = 16.0 * jax.nn.sigmoid(bias)
 
@@ -204,7 +221,7 @@ def shifted_window_attention(attn_fn, x, *, H, W, ws, shift):
     xs = x.reshape(B, H, W, C)
     if shift > 0:
         xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
-        mask = jnp.asarray(shift_attn_mask(H, W, ws, shift))
+        mask = shift_attn_mask_jnp(H, W, ws, shift)
     else:
         mask = None
     wins = window_partition(xs, ws)
