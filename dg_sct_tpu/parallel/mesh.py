@@ -19,7 +19,12 @@ DATA_AXIS = "data"
 
 def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     devs = jax.devices()
+    if num_devices is not None and len(devs) < num_devices:
+        # fall back to the virtual CPU mesh (xla_force_host_platform_device_count)
+        # when the default platform has fewer devices than requested
+        devs = jax.devices("cpu")
     if num_devices is not None:
+        assert len(devs) >= num_devices, (len(devs), num_devices)
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (axis,))
 

@@ -3,7 +3,9 @@ multi-node simulation — see SURVEY.md §4), with a persistent compilation cach
 so reruns skip XLA compiles."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the machine profile exports JAX_PLATFORMS=axon (the TPU tunnel),
+# but the test suite is designed for the virtual multi-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
