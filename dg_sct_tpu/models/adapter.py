@@ -20,8 +20,6 @@ Only stage 5's output is the residual added to the tower stream.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 

@@ -10,8 +10,6 @@ classifier; question-as-query MHA over visual/audio + FFN; fusion mul ->
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 

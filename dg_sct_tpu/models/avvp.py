@@ -9,8 +9,6 @@ probability heads.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
@@ -20,7 +18,7 @@ from . import htsat as H
 from . import interleave as I
 from . import swinv2 as S
 from .heads import ave as ave_heads
-from ..ops.basic import layer_norm, linear, linear_init, trunc_normal
+from ..ops.basic import linear, linear_init
 from ..ops.rnn import bilstm, bilstm_init
 
 

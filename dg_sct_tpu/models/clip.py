@@ -10,9 +10,6 @@ Semantics: pre-norm residual blocks, QuickGELU, causal text mask, class token
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -10,12 +10,10 @@ but here that is explicit API, not private-attribute poking.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from ..configs import AudioFrontendConfig, HTSATConfig
+from ..configs import HTSATConfig
 from ..ops import dsp
 from ..ops.basic import (batch_norm, batch_norm_init, drop_path, layer_norm,
                          layer_norm_init, linear, linear_init, mlp, mlp_init,

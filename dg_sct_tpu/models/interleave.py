@@ -20,8 +20,6 @@ weights (net_trans.py:922-924).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

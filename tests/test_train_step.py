@@ -89,10 +89,10 @@ def test_bce_ce_match_torch():
     ours = float(losses.bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
     ref = float(torch.nn.functional.binary_cross_entropy_with_logits(
         torch.from_numpy(logits), torch.from_numpy(targets)))
-    assert abs(ours - ref) < 1e-6
+    assert abs(ours - ref) < 1e-5
 
     cl = rs.randn(4, 28).astype(np.float32)
     lab = rs.randint(0, 28, size=(4,))
     ours = float(losses.cross_entropy(jnp.asarray(cl), jnp.asarray(lab)))
     ref = float(torch.nn.functional.cross_entropy(torch.from_numpy(cl), torch.from_numpy(lab)))
-    assert abs(ours - ref) < 1e-6
+    assert abs(ours - ref) < 1e-5
