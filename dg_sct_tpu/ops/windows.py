@@ -121,13 +121,10 @@ def _attn_core(q, k, v, bias, mask, out_dtype, nW=1):
     Bw, N, H, D = q.shape
     if USE_PALLAS:
         from .pallas.window_attention import fused_window_attention
-        # windows are laid out image-major: (B, nW) rows of the leading axis
-        resh = lambda t: t.reshape(Bw // nW, nW, N, H, D).transpose(0, 1, 3, 2, 4)
-        out = fused_window_attention(resh(q), resh(k), resh(v),
-                                     bias.astype(q.dtype),
-                                     mask.astype(q.dtype) if mask is not None else None)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(Bw, N, H * D)
-        return out.astype(out_dtype)
+        out = fused_window_attention(q, k, v, bias.astype(q.dtype),
+                                     mask.astype(q.dtype) if mask is not None else None,
+                                     nW=nW)
+        return out.reshape(Bw, N, H * D).astype(out_dtype)
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
     attn = attn + bias[None].astype(attn.dtype)
     if mask is not None:

@@ -15,8 +15,9 @@ def tiny_avs_cfg():
     return AVSModelConfig(swin=base.swin, htsat=base.htsat,
                           adapter=AdapterConfig(reduction_factor=2, num_tokens=4),
                           num_frames=2, channel=32, mask_size=64,
-                          # tiny swin stages: 16/8/4/2 -> pvt-ish grid
-                          scale_sizes=(14, 7, 4, 2), tpavi_stages=(0, 3))
+                          # FPN requires each scale to be exactly 2x the next
+                          # (FeatureFusionBlock upsamples by 2 into the skip)
+                          scale_sizes=(16, 8, 4, 2), tpavi_stages=(0, 3))
 
 
 def test_tpavi_identity_at_init():

@@ -13,11 +13,11 @@ from dg_sct_tpu.ops.pallas import window_attention as PA
                                              (4, 16, 2, 8, True),
                                              (16, 64, 4, 24, False)])
 def test_fused_matches_einsum(nW, N, H, D, masked):
-    B = 2
+    B = 2  # images; Bw = B * nW windows in native layout
     rs = np.random.RandomState(0)
-    q = rs.randn(B, nW, H, N, D).astype(np.float32) * 0.3
-    k = rs.randn(B, nW, H, N, D).astype(np.float32) * 0.3
-    v = rs.randn(B, nW, H, N, D).astype(np.float32) * 0.3
+    q = rs.randn(B * nW, N, H, D).astype(np.float32) * 0.3
+    k = rs.randn(B * nW, N, H, D).astype(np.float32) * 0.3
+    v = rs.randn(B * nW, N, H, D).astype(np.float32) * 0.3
     bias = rs.randn(H, N, N).astype(np.float32) * 0.3
     mask = None
     if masked:
@@ -25,14 +25,15 @@ def test_fused_matches_einsum(nW, N, H, D, masked):
 
     out = np.asarray(PA.fused_window_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
-        jnp.asarray(mask) if mask is not None else None, interpret=True))
+        jnp.asarray(mask) if mask is not None else None, nW=nW, interpret=True))
 
-    scores = np.einsum("bwhnd,bwhmd->bwhnm", q, k) + bias[None, None]
+    scores = np.einsum("wnhd,wmhd->whnm", q, k) + bias[None]
     if mask is not None:
-        scores = scores + mask[None, :, None]
+        full_mask = np.tile(mask, (B, 1, 1))
+        scores = scores + full_mask[:, None]
     e = np.exp(scores - scores.max(-1, keepdims=True))
     attn = e / e.sum(-1, keepdims=True)
-    ref = np.einsum("bwhnm,bwhmd->bwhnd", attn, v)
+    ref = np.einsum("whnm,wmhd->wnhd", attn, v)
     assert np.max(np.abs(out - ref)) < 1e-5
 
 
