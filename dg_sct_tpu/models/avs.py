@@ -78,8 +78,8 @@ def init_avs_model(key, cfg: AVSModelConfig, dtype=jnp.float32):
         # per-stage channel alignment (x{i}_linear_, PVT_AVSModel.py:621-624)
         "scale_linears": [linear_init(k[3 + i], cfg.swin.stage_dim(i), ch, dtype=dtype)
                           for i in range(4)],
-        "audio_linear": linear_init(k[7], cfg.htsat.num_features, 128, dtype=dtype),
-        "temporal_attn": avs_head.init_avs_temporal_attention(k[8], dtype),
+        "audio_linear": linear_init(k[7], cfg.htsat.num_features, ch // 2, dtype=dtype),
+        "temporal_attn": avs_head.init_avs_temporal_attention(k[8], ch, dtype),
         "paths": [init_feature_fusion_block(k[9 + i], ch, dtype) for i in range(4)],
         "out_conv1": conv2d_init(k[13], 3, 3, ch, 128, dtype=dtype),
         "out_conv2": conv2d_init(k[14], 3, 3, 128, 32, dtype=dtype),

@@ -17,7 +17,7 @@ def init_tpavi(key, in_channels, dtype=jnp.float32):
     inter = in_channels // 2
     k = jax.random.split(key, 5)
     params = {
-        "align_channel": linear_init(k[0], 128, in_channels, dtype=dtype),
+        "align_channel": linear_init(k[0], in_channels // 2, in_channels, dtype=dtype),
         "norm_layer": layer_norm_init(in_channels, dtype),
         "g": linear_init(k[1], in_channels, inter, dtype=dtype),
         "theta": linear_init(k[2], in_channels, inter, dtype=dtype),
@@ -33,7 +33,7 @@ def init_tpavi(key, in_channels, dtype=jnp.float32):
 
 
 def tpavi(params, state, x, audio=None, *, train=False):
-    """x: (B, T, H, W, C); audio: (B, T, 128) or None (then video self-attn).
+    """x: (B, T, H, W, C); audio: (B, T, C//2) or None (then video self-attn).
 
     Returns (z (B,T,H,W,C), audio_aligned (B,T,C) or None, new_state).
     'dot' mode: f = theta(x) @ phi(audio)^T / N, y = f @ g(x).

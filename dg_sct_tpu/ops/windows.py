@@ -68,19 +68,17 @@ def shift_attn_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=None)
 def shift_attn_mask_jnp(H: int, W: int, ws: int, shift: int):
-    """jnp-cached mask: one array object per config, so every block's trace
-    references the SAME constant (dedupes the serialized HLO)."""
+    """Mask as a jnp constant. NOTE: must NOT be lru-cached as a jnp array —
+    inside jit, jnp.asarray stages a tracer, and caching it across traces
+    leaks (XLA dedupes identical constants at compile time anyway)."""
     return jnp.asarray(shift_attn_mask(H, W, ws, shift))
 
 
-@functools.lru_cache(maxsize=None)
 def relative_position_index_jnp(ws_h: int, ws_w: int):
     return jnp.asarray(relative_position_index(ws_h, ws_w).reshape(-1))
 
 
-@functools.lru_cache(maxsize=None)
 def log_cpb_coords_table_jnp(ws_h: int, ws_w: int, pretrained_ws: int = 0):
     return jnp.asarray(log_cpb_coords_table(ws_h, ws_w, pretrained_ws))
 

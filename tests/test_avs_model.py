@@ -24,7 +24,7 @@ def test_tpavi_identity_at_init():
     """W_z BN scale is zero-init (TPAVI.py:62) -> block ~= LayerNorm(x)."""
     params, state = TP.init_tpavi(jax.random.PRNGKey(0), 16)
     x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 4, 4, 16).astype(np.float32))
-    audio = jnp.asarray(np.random.RandomState(1).randn(2, 3, 128).astype(np.float32))
+    audio = jnp.asarray(np.random.RandomState(1).randn(2, 3, 8).astype(np.float32))
     z, a, _ = TP.tpavi(params, state, x, audio, train=False)
     assert z.shape == x.shape
     assert a.shape == (2, 3, 16)
