@@ -68,7 +68,7 @@ def init_htsat(key, cfg: HTSATConfig, dtype=jnp.float32):
     params["norm"] = layer_norm_init(cfg.num_features, dtype)
 
     # tscam head (htsat.py:536-543): Conv2d(num_features, classes, (SF, 3), pad (0,1))
-    SF = cfg.spec_size // (2 ** (cfg.num_layers - 1)) // cfg.patch_stride[0] // cfg.frontend.freq_ratio
+    SF = tscam_freq_bins(cfg)
     kt, kh = jax.random.split(keys[6])
     params["tscam_conv"] = {
         "kernel": jax.random.normal(kt, (SF, 3, cfg.num_features, cfg.num_classes), dtype) * 0.02,
@@ -81,6 +81,13 @@ def init_htsat(key, cfg: HTSATConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 # forward pieces
 # ---------------------------------------------------------------------------
+
+def tscam_freq_bins(cfg: HTSATConfig) -> int:
+    """c_freq_bin of the tscam fold (htsat.py:628): grid rows / freq_ratio,
+    clamped so tiny test configs (grid < freq_ratio) stay well-formed."""
+    grid = cfg.spec_size // (2 ** (cfg.num_layers - 1)) // cfg.patch_stride[0]
+    return max(grid // cfg.frontend.freq_ratio, 1)
+
 
 def frontend(params, state, wave, cfg: HTSATConfig, *, train: bool,
              rng=None, mixup_lambda=None):
@@ -187,8 +194,8 @@ def tscam_head(params, x, cfg: HTSATConfig):
     N, L, C = x.shape
     x = layer_norm(params["norm"], x)
     SF = ST = cfg.stage_resolution(cfg.num_layers - 1)[0]  # 8
-    fr = cfg.frontend.freq_ratio
-    cfb = SF // fr  # c_freq_bin = 2
+    cfb = tscam_freq_bins(cfg)                             # c_freq_bin = 2
+    fr = SF // cfb
     # (N, L, C) -> grid (N, SF, ST, C) -> unfold freq strips -> (N, cfb, fr*ST, C)
     g = x.reshape(N, SF, ST, C)
     g = g.reshape(N, fr, cfb, ST, C).transpose(0, 2, 1, 3, 4).reshape(N, cfb, fr * ST, C)
