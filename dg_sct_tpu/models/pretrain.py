@@ -84,7 +84,7 @@ def init_pretrain_model(key, cfg: PretrainModelConfig, classnames,
 
     n_cls = buffers["token_prefix"].shape[0]
     if clap_text_features is None:
-        clap_text_features = jax.random.normal(k[4], (n_cls, 512), dtype) * 0.02
+        clap_text_features = jax.random.normal(k[4], (n_cls, cfg.clip.embed_dim), dtype) * 0.02
 
     params = {
         "visual": visual,
@@ -95,11 +95,13 @@ def init_pretrain_model(key, cfg: PretrainModelConfig, classnames,
                                                 cfg.clip.text_width, dtype),
         "clip_adapter": P.init_clip_adapter(k[6], cfg.clip.embed_dim, 4, dtype),
         "clip_adapter_text": P.init_clip_adapter(k[7], cfg.clip.embed_dim, 4, dtype),
+        # CLAP projects audio into the same 512-d space as CLIP embeddings;
+        # generalized to clip.embed_dim (512 at full scale)
         "audio_projection": {"fc1": linear_init(k[8], cfg.htsat.num_features, 512, dtype=dtype),
-                             "fc2": linear_init(k[9], 512, 512, dtype=dtype)},
+                             "fc2": linear_init(k[9], 512, cfg.clip.embed_dim, dtype=dtype)},
         "clap_text_features": jnp.asarray(clap_text_features, dtype),
         "logit_scale_a": jnp.asarray(jnp.log(1.0 / 0.07), dtype),
-        "av_contrastive_fc": linear_init(k[10], 512, 512, dtype=dtype),
+        "av_contrastive_fc": linear_init(k[10], cfg.clip.embed_dim, cfg.clip.embed_dim, dtype=dtype),
     }
     state = {"htsat": htsat_state, "adapters": adapter_state}
     return params, state, buffers
