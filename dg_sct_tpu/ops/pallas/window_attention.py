@@ -26,30 +26,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale, has_mask):
-    q = q_ref[:, :, 0].astype(jnp.float32)   # (WB, N, D)
-    k = k_ref[:, :, 0].astype(jnp.float32)
-    v = v_ref[:, :, 0]
-    scores = jax.lax.dot_general(
-        q * scale, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)      # (WB, N, N)
-    scores = scores + bias_ref[0].astype(jnp.float32)[None]
-    if has_mask:
-        scores = scores + mask_ref[...].astype(jnp.float32)
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores)
-    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-    out = jax.lax.dot_general(
-        attn, v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)      # (WB, N, D)
-    o_ref[:, :, 0] = out.astype(o_ref.dtype)
+def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale, has_mask,
+            num_heads):
+    # heads stay whole in the block (Mosaic requires the trailing dims be
+    # full or tile-aligned); unroll the small head loop in-kernel instead.
+    for h in range(num_heads):
+        q = q_ref[:, :, h, :].astype(jnp.float32)   # (WB, N, D)
+        k = k_ref[:, :, h, :].astype(jnp.float32)
+        v = v_ref[:, :, h, :]
+        scores = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # (WB, N, N)
+        scores = scores + bias_ref[h].astype(jnp.float32)[None]
+        if has_mask:
+            scores = scores + mask_ref[...].astype(jnp.float32)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        out = jax.lax.dot_general(
+            attn, v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # (WB, N, D)
+        o_ref[:, :, h, :] = out.astype(o_ref.dtype)
 
 
 def _pick_window_block(nW, N):
-    """Largest divisor of nW keeping the f32 score tile under ~2 MB."""
-    budget = 2 * 1024 * 1024
+    """Largest divisor of nW keeping the f32 score tile under ~1 MB (blocks
+    carry all heads, so stay conservative for double-buffered qkv tiles)."""
+    budget = 1024 * 1024
     wb = nW
     while wb > 1 and wb * N * N * 4 > budget:
         for d in range(wb - 1, 0, -1):
@@ -74,18 +79,18 @@ def fused_window_attention(q, k, v, bias, mask=None, *, nW=1, scale=1.0,
         mask_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     else:
         blocks_per_img = nW // WB
-        mask_spec = pl.BlockSpec((WB, N, N), lambda i, h: (i % blocks_per_img, 0, 0),
+        mask_spec = pl.BlockSpec((WB, N, N), lambda i: (i % blocks_per_img, 0, 0),
                                  memory_space=pltpu.VMEM)
 
-    qkv_spec = pl.BlockSpec((WB, N, 1, D), lambda i, h: (i, 0, h, 0),
+    qkv_spec = pl.BlockSpec((WB, N, H, D), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, N, N), lambda i, h: (h, 0, 0),
+    bias_spec = pl.BlockSpec((H, N, N), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
 
     flops = 2 * Bw * H * N * N * D * 2
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, has_mask=has_mask),
-        grid=(Bw // WB, H),
+        functools.partial(_kernel, scale=scale, has_mask=has_mask, num_heads=H),
+        grid=(Bw // WB,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
