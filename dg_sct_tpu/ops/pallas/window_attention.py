@@ -33,7 +33,6 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale, has_mask,
     for h in range(num_heads):
         q = q_ref[:, :, h, :].astype(jnp.float32)   # (WB, N, D)
         k = k_ref[:, :, h, :].astype(jnp.float32)
-        v = v_ref[:, :, h, :]
         scores = jax.lax.dot_general(
             q * scale, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -43,20 +42,26 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale, has_mask,
             scores = scores + mask_ref[...].astype(jnp.float32)
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores)
-        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(o_ref.dtype)
+        # contract against the rank-4 v slice so the output is already
+        # (WB, N, 1, D) — Mosaic can't shape-cast a rank-3 value into a
+        # rank-4 store slot
+        v4 = v_ref[:, :, h:h + 1, :]
         out = jax.lax.dot_general(
-            attn, v,
+            attn, v4,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # (WB, N, D)
-        o_ref[:, :, h, :] = out.astype(o_ref.dtype)
+            preferred_element_type=jnp.float32)      # (WB, N, 1, D)
+        o_ref[:, :, h:h + 1, :] = out.astype(o_ref.dtype)
 
 
-def _pick_window_block(nW, N):
-    """Largest divisor of nW keeping the f32 score tile under ~1 MB (blocks
-    carry all heads, so stay conservative for double-buffered qkv tiles)."""
-    budget = 1024 * 1024
+def _pick_window_block(nW, N, H, D, itemsize=2):
+    """Largest divisor of nW fitting the block's VMEM working set: 4 qkv/out
+    tiles (double-buffered) + f32 score/softmax temporaries, under ~10 MB of
+    the 16 MB scoped budget."""
+    budget = 3 * 1024 * 1024  # empirically ~3x headroom vs Mosaic's scoped accounting
+    per_wb = 8 * N * H * D * itemsize + 6 * N * N * 4
     wb = nW
-    while wb > 1 and wb * N * N * 4 > budget:
+    while wb > 1 and wb * per_wb > budget:
         for d in range(wb - 1, 0, -1):
             if nW % d == 0:
                 wb = d
@@ -72,7 +77,7 @@ def fused_window_attention(q, k, v, bias, mask=None, *, nW=1, scale=1.0,
     before the score matmul (pass 1.0 if q is pre-scaled)."""
     Bw, N, H, D = q.shape
     has_mask = mask is not None
-    WB = _pick_window_block(nW, N)
+    WB = _pick_window_block(nW, N, H, D, q.dtype.itemsize)
 
     if mask is None:
         mask = jnp.zeros((1, 1, 1), q.dtype)  # dummy operand

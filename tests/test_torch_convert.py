@@ -92,8 +92,8 @@ def fake_torch_sd(cfg):
     F = cfg.htsat.num_features
     add("htsat.norm.weight", F)
     add("htsat.norm.bias", F)
-    SF = cfg.htsat.spec_size // (2 ** (cfg.htsat.num_layers - 1)) \
-        // cfg.htsat.patch_stride[0] // cfg.htsat.frontend.freq_ratio
+    from dg_sct_tpu.models.htsat import tscam_freq_bins
+    SF = tscam_freq_bins(cfg.htsat)
     add("htsat.tscam_conv.weight", cfg.htsat.num_classes, F, SF, 3)
     add("htsat.tscam_conv.bias", cfg.htsat.num_classes)
     add("htsat.head.weight", cfg.htsat.num_classes, cfg.htsat.num_classes)
