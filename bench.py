@@ -32,7 +32,7 @@ def main():
     from dg_sct_tpu.models import ave
     from dg_sct_tpu.ops import windows as W
 
-    if os.environ.get("BENCH_PALLAS", "1") == "1":
+    if os.environ.get("BENCH_PALLAS", "0") == "1":  # XLA path measures ~equal and is the default
         W.set_pallas(True)
 
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
