@@ -123,7 +123,11 @@ def _attn_core(q, k, v, bias, mask, out_dtype, nW=1):
                                      mask.astype(q.dtype) if mask is not None else None,
                                      nW=nW)
         return out.reshape(Bw, N, H * D).astype(out_dtype)
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    # accumulate scores in f32 on the MXU but MATERIALIZE them in the compute
+    # dtype — the (Bw, H, N, N) tensors dominate HBM traffic in bf16 runs
+    # (f32 runs are unchanged: astype is a no-op)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
     attn = attn + bias[None].astype(attn.dtype)
     if mask is not None:
         nW = mask.shape[0]
