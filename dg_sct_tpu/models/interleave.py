@@ -85,50 +85,59 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
     v_maps = a_maps = None
     stage_taps = []
 
+    def paired_step_impl(blk_params, blk_state, f_v, f_a, vmeta, ameta):
+        """One paired interleave step (net_trans.py:891-908) — rematerialized
+        under training so backward recomputes instead of storing the per-block
+        activations (HBM is the binding constraint on-chip)."""
+        vparams, aparams, ad = blk_params
+        new_st = {}
+        a_res, _, new_st["a_p1"] = A.adapter(ad["a_p1"], blk_state["a_p1"],
+                                             f_a, f_v, acfg, train=train)
+        v_res, _, new_st["v_p1"] = A.adapter(ad["v_p1"], blk_state["v_p1"],
+                                             f_v, f_a, acfg, train=train)
+        f_v = f_v + layer_norm(vparams["norm1"], S.attn_part(vparams, f_v, vmeta))
+        f_v = f_v + v_res
+        f_a = H.block(aparams, f_a, dim=ameta["dim"], heads=ameta["heads"],
+                      res=ameta["res"], ws=ameta["ws"], shift=ameta["shift"],
+                      drop_path_rate=ameta["dpr"], train=train, rng=None)
+        f_a = f_a + a_res
+        a_res, a_maps, new_st["a_p2"] = A.adapter(ad["a_p2"], blk_state["a_p2"],
+                                                  f_a, f_v, acfg, train=train)
+        v_res, v_maps, new_st["v_p2"] = A.adapter(ad["v_p2"], blk_state["v_p2"],
+                                                  f_v, f_a, acfg, train=train)
+        f_v = f_v + layer_norm(vparams["norm2"], mlp(vparams["mlp"], f_v))
+        f_v = f_v + v_res
+        f_a = f_a + a_res
+        return f_v, f_a, a_maps, v_maps, new_st
+
+    # meta dicts are static Python structure — close over them per block and
+    # checkpoint only the array-pytree signature
+    def make_paired(vmeta, ameta):
+        fn = lambda bp, bs, fv, fa: paired_step_impl(bp, bs, fv, fa, vmeta, ameta)
+        return jax.checkpoint(fn) if train else fn
+
+    def make_plain(vmeta):
+        fn = lambda vp, fv: S.block(vp, fv, vmeta, train=train)
+        return jax.checkpoint(fn) if train else fn
+
     for s_idx, stage in enumerate(layout):
         for (vb, ab, ai) in stage:
             vparams = params["swin"]["layers"][s_idx]["blocks"][vb]
             vmeta = vis_plan[s_idx][vb]
             if ai is None:
-                f_v = S.block(vparams, f_v, vmeta, train=train)
+                f_v = make_plain(vmeta)(vparams, f_v)
                 continue
             aparams = params["htsat"]["layers"][s_idx]["blocks"][ab]
             ameta = aud_plan[s_idx][ab]
-
-            # p1 adapters (on pre-block streams)
-            a_res, _, st = A.adapter(params["adapters"]["a_p1"][ai],
-                                     state["adapters"]["a_p1"][ai], f_a, f_v,
-                                     acfg, train=train)
-            new_adapter_state["a_p1"][ai] = st
-            v_res, _, st = A.adapter(params["adapters"]["v_p1"][ai],
-                                     state["adapters"]["v_p1"][ai], f_v, f_a,
-                                     acfg, train=train)
-            new_adapter_state["v_p1"][ai] = st
-
-            # visual attention half-block (post-norm) + adapter residual
-            f_v = f_v + layer_norm(vparams["norm1"], S.attn_part(vparams, f_v, vmeta))
-            f_v = f_v + v_res
-
-            # full audio block + adapter residual
-            f_a = H.block(aparams, f_a, dim=ameta["dim"], heads=ameta["heads"],
-                          res=ameta["res"], ws=ameta["ws"], shift=ameta["shift"],
-                          drop_path_rate=ameta["dpr"], train=train, rng=None)
-            f_a = f_a + a_res
-
-            # p2 adapters (on mid-block streams)
-            a_res, a_maps, st = A.adapter(params["adapters"]["a_p2"][ai],
-                                          state["adapters"]["a_p2"][ai], f_a, f_v,
-                                          acfg, train=train)
-            new_adapter_state["a_p2"][ai] = st
-            v_res, v_maps, st = A.adapter(params["adapters"]["v_p2"][ai],
-                                          state["adapters"]["v_p2"][ai], f_v, f_a,
-                                          acfg, train=train)
-            new_adapter_state["v_p2"][ai] = st
-
-            # visual MLP half-block + adapter residual
-            f_v = f_v + layer_norm(vparams["norm2"], mlp(vparams["mlp"], f_v))
-            f_v = f_v + v_res
-            f_a = f_a + a_res
+            blk_params = (vparams, aparams,
+                          {k: params["adapters"][k][ai] for k in
+                           ("a_p1", "v_p1", "a_p2", "v_p2")})
+            blk_state = {k: state["adapters"][k][ai] for k in
+                         ("a_p1", "v_p1", "a_p2", "v_p2")}
+            f_v, f_a, a_maps, v_maps, new_st = make_paired(vmeta, ameta)(
+                blk_params, blk_state, f_v, f_a)
+            for k in new_st:
+                new_adapter_state[k][ai] = new_st[k]
 
         if return_stage_taps:
             is_last = s_idx == len(layout) - 1
