@@ -14,11 +14,8 @@ import jax  # noqa: E402
 # CPU platform through the config API as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# NOTE: keep this cache separate from the TPU bench cache — the axon tunnel's
-# remote compile helper emits XLA:CPU AOT artifacts for a different host
-# machine, and reusing them locally miscomputes (or SIGILLs).
-jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache_cpu_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: no persistent compile cache for CPU tests — XLA:CPU AOT entries are
+# machine-feature-specific and this fleet mixes hosts (stale entries load with
+# "could lead to SIGILL" warnings and can miscompute).
 
 assert jax.device_count() >= 8, (jax.devices(), "expected virtual CPU mesh")
