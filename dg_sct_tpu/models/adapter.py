@@ -76,10 +76,26 @@ def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
     B, N, C = x.shape
 
     # ---- stage 1: resample prompts to (B, N, C) ------------------------------
-    # conv_adapter acts on the token axis (net_trans.py:553): (B, M, D)->(B, N, D)
-    p = jnp.einsum("bmd,mn->bnd", other, params["token_resample"]["kernel"])
-    p = p + params["token_resample"]["bias"][None, :, None]
-    prompts = linear(params["chan_align"], p)                     # (B, N, C)
+    # conv_adapter acts on the token axis (net_trans.py:553) and `fc` on the
+    # channel axis — independent axes, so the maps commute exactly. Apply the
+    # cheaper order for this geometry (e.g. stage-0 audio adapters halve their
+    # FLOPs by aligning channels 192->96 before resampling 2304->4096 tokens).
+    M, D = other.shape[1], other.shape[2]
+    resample_first_flops = M * N * D + N * D * C
+    align_first_flops = M * D * C + M * N * C
+    if resample_first_flops <= align_first_flops:
+        p = jnp.einsum("bmd,mn->bnd", other, params["token_resample"]["kernel"])
+        p = p + params["token_resample"]["bias"][None, :, None]
+        prompts = linear(params["chan_align"], p)                 # (B, N, C)
+    else:
+        # exact reorder: align(resample(x) + bias_n) =
+        #   resample(x @ W) + bias_n * colsum(W) + b_c
+        p = other @ params["chan_align"]["kernel"]                # (B, M, C)
+        prompts = jnp.einsum("bmc,mn->bnc", p, params["token_resample"]["kernel"])
+        wsum = jnp.sum(params["chan_align"]["kernel"], axis=0)    # (C,)
+        prompts = (prompts
+                   + params["token_resample"]["bias"][None, :, None] * wsum[None, None, :]
+                   + params["chan_align"]["bias"])
 
     # ---- stage 2: latent-token two-hop attention (net_trans.py:572-589) ------
     tok = params["latent_tokens"]                                  # (T, C)
