@@ -36,6 +36,17 @@ def merge_params(trainable, frozen):
     return out
 
 
+def canonicalize(tree):
+    """Strip weak types / host scalars so repeated step calls hit the same
+    compiled executable (a weak-typed leaf in the first opt_state caused a
+    full recompile on the second training step)."""
+    def fix(x):
+        if hasattr(x, "astype") and hasattr(x, "dtype"):
+            return jnp.asarray(x).astype(x.dtype)
+        return jnp.asarray(x)
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def make_optimizer(trainable, train_cfg: TrainConfig, steps_per_epoch: int):
     sched = step_lr(train_cfg.lr, train_cfg.decay_epoch, train_cfg.decay, steps_per_epoch)
     tx = optax.adam(sched)
@@ -46,7 +57,7 @@ def make_optimizer(trainable, train_cfg: TrainConfig, steps_per_epoch: int):
 
 def make_train_step(cfg: AVEModelConfig, tx, *, donate=True):
     @functools.partial(jax.jit, donate_argnums=(0, 2, 3) if donate else ())
-    def train_step(trainable, frozen, state, opt_state, batch, rng):
+    def _step(trainable, frozen, state, opt_state, batch, rng):
         def loss_fn(tr, st):
             params = merge_params(tr, frozen)
             out, new_state = ave.forward(
@@ -59,6 +70,10 @@ def make_train_step(cfg: AVEModelConfig, tx, *, donate=True):
         trainable = optax.apply_updates(trainable, updates)
         acc = ave_accuracy(out["is_event_scores"], out["event_scores"], batch["gt"])
         return trainable, new_state, opt_state, {"loss": loss, "acc": acc}
+
+    def train_step(trainable, frozen, state, opt_state, batch, rng):
+        return _step(canonicalize(trainable), frozen, canonicalize(state),
+                     canonicalize(opt_state), canonicalize(batch), rng)
 
     return train_step
 
