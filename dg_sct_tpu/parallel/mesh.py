@@ -22,9 +22,21 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     if num_devices is not None and len(devs) < num_devices:
         # fall back to the virtual CPU mesh (xla_force_host_platform_device_count)
         # when the default platform has fewer devices than requested
-        devs = jax.devices("cpu")
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) > len(devs):
+            devs = cpu
     if num_devices is not None:
-        assert len(devs) >= num_devices, (len(devs), num_devices)
+        if len(devs) < num_devices:
+            raise RuntimeError(
+                f"make_mesh({num_devices}): only {len(devs)} devices visible. "
+                "For a virtual multi-device CPU mesh, set JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={num_devices} "
+                "BEFORE jax initializes (see tests/conftest.py), or run via "
+                "__graft_entry__.dryrun_multichip which subprocesses with the "
+                "right env.")
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (axis,))
 
