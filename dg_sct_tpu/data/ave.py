@@ -149,8 +149,24 @@ def synthetic_batch(batch_size: int, *, img_size=192, num_segments=NUM_SEGMENTS,
     }
 
 
+def default_collate(samples: Sequence[dict]) -> dict:
+    """Stack numeric per-sample values into batch arrays; keep non-numeric
+    values (strings, e.g. video ids / question types) as Python lists.
+    `GT` is renamed to `gt` (the train-step batch key)."""
+    batch = {}
+    for key in samples[0]:
+        out_key = "gt" if key == "GT" else key
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], (np.ndarray, np.number, int, float)):
+            batch[out_key] = np.stack([np.asarray(v) for v in vals])
+        else:
+            batch[out_key] = list(vals)
+    return batch
+
+
 def batched_iterator(dataset, batch_size: int, *, shuffle=True, seed=0,
-                     drop_last=True, num_workers=4, prefetch=2) -> Iterator[dict]:
+                     drop_last=True, num_workers=4, prefetch=2,
+                     collate=default_collate) -> Iterator[dict]:
     """Threaded prefetching loader: worker threads decode samples, a collator
     stacks them, `prefetch` ready batches buffer ahead of the device step."""
     order = np.arange(len(dataset))
@@ -164,16 +180,17 @@ def batched_iterator(dataset, batch_size: int, *, shuffle=True, seed=0,
     stop = threading.Event()
 
     def produce():
-        for idxs in batches:
-            if stop.is_set():
-                return
-            samples = [dataset[int(i)] for i in idxs]
-            batch = {
-                "image": np.stack([s["image"] for s in samples]),
-                "wave": np.stack([s["wave"] for s in samples]),
-                "gt": np.stack([s["GT"] for s in samples]),
-            }
-            q.put(batch)
+        try:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as ex:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(ex.map(lambda i: dataset[int(i)], idxs))
+                    q.put(collate(samples))
+        except Exception as e:  # surface loader errors to the consumer
+            q.put(e)
+            return
         q.put(None)
 
     t = threading.Thread(target=produce, daemon=True)
@@ -183,6 +200,8 @@ def batched_iterator(dataset, batch_size: int, *, shuffle=True, seed=0,
             batch = q.get()
             if batch is None:
                 return
+            if isinstance(batch, Exception):
+                raise batch
             yield batch
     finally:
         stop.set()

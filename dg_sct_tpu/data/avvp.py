@@ -42,12 +42,15 @@ def parse_label_csv(path: str):
 class LLPDataset:
     def __init__(self, label_csv: str, frame_dir: Optional[str] = None,
                  audio_dir: Optional[str] = None, st_dir: Optional[str] = None,
-                 img_size: int = 192):
+                 img_size: int = 192, num_frames: int = 10,
+                 segment_samples: int = 32000):
         self.samples = parse_label_csv(label_csv)
         self.frame_dir = frame_dir
         self.audio_dir = audio_dir
         self.st_dir = st_dir
         self.img_size = img_size
+        self.num_frames = num_frames
+        self.segment_samples = segment_samples
 
     def __len__(self):
         return len(self.samples)
@@ -56,15 +59,21 @@ class LLPDataset:
         from .ave import load_frames, load_wave
         vid, target = self.samples[i]
         name = vid[:11]
+        st = np.load(os.path.join(self.st_dir, f"{name}.npy")).astype(np.float32)
+        if st.shape[0] != self.num_frames:  # (10, 512) in the reference
+            st = st[np.linspace(0, st.shape[0] - 1, self.num_frames).astype(int)]
         return {
-            "image": load_frames(self.frame_dir, name, img_size=self.img_size),
-            "wave": load_wave(self.audio_dir, name),
-            "video_st": np.load(os.path.join(self.st_dir, f"{name}.npy")).astype(np.float32),
+            "image": load_frames(self.frame_dir, name, self.num_frames,
+                                 img_size=self.img_size),
+            "wave": load_wave(self.audio_dir, name, self.num_frames,
+                              self.segment_samples),
+            "video_st": st,
             "target": target,
+            "video": name,
         }
 
 
-def parse_eval_csv(path: str):
+def parse_eval_csv(path: str, num_segments: int = 10):
     """AVVP_eval_audio/visual.csv rows: filename, onset, offset, event_labels
     (second-level temporal annotations for segment/event F1)."""
     import pandas as pd
@@ -72,11 +81,11 @@ def parse_eval_csv(path: str):
     ann = {}
     for _, row in df.iterrows():
         vid = row["filename"][:11]
-        grid = ann.setdefault(vid, np.zeros((len(CATEGORIES), 10), np.int64))
+        grid = ann.setdefault(vid, np.zeros((len(CATEGORIES), num_segments), np.int64))
         for lab in str(row["event_labels"]).split(","):
             if lab in CAT_IDX:
                 onset, offset = int(row["onset"]), int(row["offset"])
-                grid[CAT_IDX[lab], onset:min(offset, 10)] = 1
+                grid[CAT_IDX[lab], onset:min(offset, num_segments)] = 1
     return ann
 
 

@@ -79,6 +79,17 @@ def save_train_state(path: str, *, params, state, opt_state, rng_key, step: int,
             json.dump(metadata, f)
 
 
+def load_params_and_state(path: str):
+    """Load (params, state-or-None) from either a params-only file
+    (`save_params`) or a full train-state bundle (`save_train_state`)."""
+    tree = load_params(path)
+    if "bundle" in tree:
+        return tree["bundle"]["params"], tree["bundle"]["state"]
+    if "params" in tree:
+        return tree["params"], tree.get("state")
+    return tree, None
+
+
 def load_train_state(path: str, opt_state_template=None):
     """`opt_state_template` (e.g. `tx.init(params)`) restores optax's
     namedtuple structure, which the npz roundtrip flattens to lists."""

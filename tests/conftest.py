@@ -19,3 +19,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # "could lead to SIGILL" warnings and can miscompute).
 
 assert jax.device_count() >= 8, (jax.devices(), "expected virtual CPU mesh")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration tests")
