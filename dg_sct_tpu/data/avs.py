@@ -40,11 +40,14 @@ class S4Dataset:
     `<root>/audio_wav/<video>.npy` (dict or array of waveforms)."""
 
     def __init__(self, root: str, split: str = "train", mask_num: int = 1,
-                 img_size: int = 224):
+                 img_size: int = 224, num_frames: int = NUM_FRAMES,
+                 segment_samples: int = SR):
         self.root = root
         self.split = split
         self.mask_num = mask_num  # S4 train: 1; val/test + MS3: 5
         self.img_size = img_size
+        self.num_frames = num_frames
+        self.segment_samples = segment_samples
         self.videos = []
         vdir = os.path.join(root, "visual_frames", split)
         if os.path.isdir(vdir):
@@ -59,7 +62,7 @@ class S4Dataset:
         cat, vid = self.videos[i]
         fdir = os.path.join(self.root, "visual_frames", self.split, cat, vid)
         mdir = os.path.join(self.root, "gt_masks", self.split, cat, vid)
-        frames = sorted(f for f in os.listdir(fdir) if f.endswith((".png", ".jpg")))[:NUM_FRAMES]
+        frames = sorted(f for f in os.listdir(fdir) if f.endswith((".png", ".jpg")))[:self.num_frames]
         imgs = np.stack([load_image(os.path.join(fdir, f), self.img_size) for f in frames])
         masks = []
         mfiles = sorted(f for f in os.listdir(mdir) if f.endswith(".png"))[:self.mask_num]
@@ -70,10 +73,10 @@ class S4Dataset:
         if isinstance(wave, np.ndarray) and wave.dtype == object:
             wave = wave.item()[vid]
         wave = np.asarray(wave, np.float32).reshape(-1)
-        need = NUM_FRAMES * SR
+        need = self.num_frames * self.segment_samples
         if len(wave) < need:
             wave = np.tile(wave, need // max(len(wave), 1) + 1)
-        wave = wave[:need].reshape(NUM_FRAMES, SR)
+        wave = wave[:need].reshape(self.num_frames, self.segment_samples)
         return {"image": imgs, "mask": np.stack(masks), "wave": wave,
                 "category": cat, "video": vid}
 

@@ -97,3 +97,59 @@ def test_avs_metrics():
     assert mask_iou(gt, gt) == pytest.approx(1.0)
     assert f_measure(gt, gt) > 0.95
     assert mask_iou(1 - gt, gt) < 0.1
+
+
+def test_ms3_kl_loss_torch_parity():
+    """masked_av_kl_loss vs an independent torch implementation of
+    `avs_ms3/loss.py:24-79` (kl_flag, norm_fea, avg pooling, threshold off)."""
+    import torch
+    import torch.nn.functional as TF
+
+    rs = np.random.RandomState(7)
+    BT, H, W, C, Hm = 4, 4, 4, 8, 16
+    pred = rs.randn(BT, Hm, Hm, 1).astype(np.float32)
+    a_fea = rs.randn(2, 2, C).astype(np.float32)         # (B, T, C)
+    v_map = rs.randn(BT, H, W, C).astype(np.float32)
+
+    ours = float(avs_train.masked_av_kl_loss(
+        jnp.asarray(pred), [jnp.asarray(a_fea)], [jnp.asarray(v_map)], (0,)))
+
+    tp = torch.from_numpy(pred.transpose(0, 3, 1, 2))    # (BT, 1, Hm, Hm)
+    ta = torch.from_numpy(a_fea).view(-1, C)
+    tv = torch.from_numpy(v_map.transpose(0, 3, 1, 2))   # (BT, C, H, W)
+    down = torch.nn.AdaptiveAvgPool2d((H, W))(tp)
+    down = torch.sigmoid(down)
+    masked_v = (tv * down).mean(-1).mean(-1)
+    ta = TF.normalize(ta, dim=-1)
+    masked_v = TF.normalize(masked_v, dim=-1)
+    ref = TF.kl_div(masked_v.softmax(dim=-1).log(), ta.softmax(dim=-1),
+                    reduction="sum")
+    assert ours == pytest.approx(float(ref), abs=1e-5)
+
+
+def test_s4_masked_av_loss_torch_parity():
+    """masked_av_simm_loss vs an independent torch implementation of
+    `avs_s4/loss.py:31-79` (sigmoid -> pool -> threshold -> object-mean)."""
+    import torch
+    import torch.nn.functional as TF
+
+    rs = np.random.RandomState(11)
+    BT, H, W, C, Hm = 4, 4, 4, 8, 16
+    pred = rs.randn(BT, Hm, Hm, 1).astype(np.float32)
+    a_fea = rs.randn(2, 2, C).astype(np.float32)
+    v_map = rs.randn(BT, H, W, C).astype(np.float32)
+
+    ours = float(avs_train.masked_av_simm_loss(
+        jnp.asarray(pred), [jnp.asarray(a_fea)], [jnp.asarray(v_map)], (0,)))
+
+    tp = torch.sigmoid(torch.from_numpy(pred.transpose(0, 3, 1, 2)))
+    ta = torch.from_numpy(a_fea).view(-1, C)
+    tv = torch.from_numpy(v_map.transpose(0, 3, 1, 2))
+    down = (torch.nn.AdaptiveAvgPool2d((H, W))(tp) > 0.5).float()
+    obj = down.sum(-1).sum(-1)
+    masked_v = (tv * down).sum(-1).sum(-1) / (obj + 1e-6)
+    ta = TF.normalize(ta, dim=-1)
+    masked_v = TF.normalize(masked_v, dim=-1)
+    cos = TF.relu((masked_v * ta).sum(-1)) + 1e-6
+    ref = (-cos.log()).mean()
+    assert ours == pytest.approx(float(ref), abs=1e-5)

@@ -45,3 +45,26 @@ def test_avvp_train_loop(tmp_path):
     assert events[0]["event"] == "config"
     assert any(e["event"] == "scalars" and "val/segment_type_avg" in e
                for e in events)
+
+
+def test_avs_ms3_train_loop(tmp_path):
+    """MS3 real-data loop: all-frame masks + KL masked-AV loss composition."""
+    from dg_sct_tpu.train import avs_main
+    from tests.test_avs_model import tiny_avs_cfg
+
+    root = str(tmp_path)
+    cfg = tiny_avs_cfg()
+    for split in ("train", "test"):
+        media_tree.make_avs_tree(root, [("guitar", f"v{split}0"),
+                                        ("drum", f"v{split}1")],
+                                 split=split, n_frames=cfg.num_frames,
+                                 img_size=cfg.mask_size,
+                                 wave_samples=cfg.num_frames * TINY_WAVE,
+                                 mask_frames=cfg.num_frames)
+    argv = ["--mode", "train", "--task", "ms3", "--epochs", "1",
+            "--batch-size", "2", "--root", root,
+            "--save-dir", os.path.join(root, "ckpt")]
+    result = avs_main.main(argv, cfg=cfg)
+    assert result is not None
+    assert 0.0 <= result["miou"] <= 1.0 and 0.0 <= result["f_score"] <= 1.0
+    assert os.path.exists(os.path.join(root, "ckpt", "ms3_best.npz"))
