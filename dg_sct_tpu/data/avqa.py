@@ -46,7 +46,7 @@ def tokenize(words: List[str], word_to_ix: dict, max_len: int = MAX_QST_LEN) -> 
 class AVQADataset:
     def __init__(self, meta_root: str, split_json: str, frame_dir: Optional[str] = None,
                  audio_dir: Optional[str] = None, img_size: int = 192,
-                 num_frames: int = 10, seed: int = 0):
+                 num_frames: int = 10, segment_samples: int = 32000, seed: int = 0):
         self.ques_vocab = load_vocab(os.path.join(meta_root, "ques_vocab.txt"))
         self.ans_vocab = load_vocab(os.path.join(meta_root, "ans_vocab.txt"))
         self.word_to_ix = {w: i for i, w in enumerate(self.ques_vocab)}
@@ -57,6 +57,7 @@ class AVQADataset:
         self.audio_dir = audio_dir
         self.img_size = img_size
         self.num_frames = num_frames
+        self.segment_samples = segment_samples
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -75,7 +76,7 @@ class AVQADataset:
         return {
             "visual_posi": load_frames(self.frame_dir, vid, self.num_frames, self.img_size),
             "visual_nega": load_frames(self.frame_dir, nega_vid, self.num_frames, self.img_size),
-            "wave": load_wave(self.audio_dir, vid, self.num_frames),
+            "wave": load_wave(self.audio_dir, vid, self.num_frames, self.segment_samples),
             "question": q,
             "answer": np.int64(self.ans_to_ix[s["anser"]]),
             "type": s.get("type", ""),

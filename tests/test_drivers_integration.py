@@ -68,3 +68,28 @@ def test_avs_ms3_train_loop(tmp_path):
     assert result is not None
     assert 0.0 <= result["miou"] <= 1.0 and 0.0 <= result["f_score"] <= 1.0
     assert os.path.exists(os.path.join(root, "ckpt", "ms3_best.npz"))
+
+
+def test_avqa_two_stage_loop(tmp_path):
+    """Stage-1 grounding loop -> stage-2 fusion loop with weight transfer and
+    the 9-type accuracy report."""
+    from dg_sct_tpu.train import avqa_main
+    from tests.test_avqa_model import tiny_avqa_cfg
+
+    root = str(tmp_path)
+    cfg = tiny_avqa_cfg()
+    tree = media_tree.make_avqa_tree(root, ["qa0", "qa1"], n_frames=3,
+                                     img_size=cfg.swin.img_size,
+                                     wave_samples=2 * TINY_WAVE, n_q=4)
+    common = ["--meta", root, "--frames", tree["frames"],
+              "--audio", tree["audio"], "--batch-size", "2",
+              "--epochs", "1", "--save-dir", os.path.join(root, "ckpt")]
+    s1_path = avqa_main.main(["--mode", "train", "--stage", "1"] + common,
+                             cfg=cfg)
+    assert s1_path and os.path.exists(s1_path)
+    accs = avqa_main.main(["--mode", "train", "--stage", "2",
+                           "--stage1-ckpt", s1_path] + common, cfg=cfg)
+    assert "Avg" in accs and 0.0 <= accs["Avg"] <= 100.0
+    # per-type buckets from the synthetic types are present
+    assert any(k.startswith("Audio-Visual") for k in accs)
+    assert os.path.exists(os.path.join(root, "ckpt", "avst_best.npz"))
