@@ -110,27 +110,36 @@ class AVEDataset:
     """Map-style dataset over an AVE split."""
 
     def __init__(self, root: str, split: str = "train", img_size: int = 192,
-                 frame_dir: Optional[str] = None, audio_dir: Optional[str] = None):
+                 frame_dir: Optional[str] = None, audio_dir: Optional[str] = None,
+                 num_frames: int = NUM_SEGMENTS, segment_samples: int = SAMPLE_RATE):
         meta = os.path.join(root, "data", "AVE") if os.path.isdir(
             os.path.join(root, "data", "AVE")) else root
-        cats = load_categories(os.path.join(meta, "categories.txt"))
-        ann = dict(parse_annotations(os.path.join(meta, "Annotations.txt"), cats))
+        self.categories = load_categories(os.path.join(meta, "categories.txt"))
+        ann = dict(parse_annotations(os.path.join(meta, "Annotations.txt"),
+                                     self.categories))
         split_file = {"train": "trainSet.txt", "test": "testSet.txt", "val": "valSet.txt"}[split]
         self.ids = [v for v in load_split_ids(os.path.join(meta, split_file)) if v in ann]
         self.labels = ann
         self.frame_dir = frame_dir
         self.audio_dir = audio_dir
         self.img_size = img_size
+        self.num_frames = num_frames
+        self.segment_samples = segment_samples
 
     def __len__(self):
         return len(self.ids)
 
     def __getitem__(self, i):
         vid = self.ids[i]
+        gt = self.labels[vid]
+        if gt.shape[0] != self.num_frames:
+            gt = gt[np.linspace(0, gt.shape[0] - 1, self.num_frames).astype(int)]
         return {
-            "image": load_frames(self.frame_dir, vid, img_size=self.img_size),
-            "wave": load_wave(self.audio_dir, vid),
-            "GT": self.labels[vid],
+            "image": load_frames(self.frame_dir, vid, self.num_frames,
+                                 img_size=self.img_size),
+            "wave": load_wave(self.audio_dir, vid, self.num_frames,
+                              self.segment_samples),
+            "GT": gt,
         }
 
 

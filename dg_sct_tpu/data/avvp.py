@@ -59,18 +59,20 @@ class LLPDataset:
         from .ave import load_frames, load_wave
         vid, target = self.samples[i]
         name = vid[:11]
-        st = np.load(os.path.join(self.st_dir, f"{name}.npy")).astype(np.float32)
-        if st.shape[0] != self.num_frames:  # (10, 512) in the reference
-            st = st[np.linspace(0, st.shape[0] - 1, self.num_frames).astype(int)]
-        return {
+        out = {
             "image": load_frames(self.frame_dir, name, self.num_frames,
                                  img_size=self.img_size),
             "wave": load_wave(self.audio_dir, name, self.num_frames,
                               self.segment_samples),
-            "video_st": st,
             "target": target,
             "video": name,
         }
+        if self.st_dir is not None:  # zero-shot LLP runs without r2plus1d feats
+            st = np.load(os.path.join(self.st_dir, f"{name}.npy")).astype(np.float32)
+            if st.shape[0] != self.num_frames:  # (10, 512) in the reference
+                st = st[np.linspace(0, st.shape[0] - 1, self.num_frames).astype(int)]
+            out["video_st"] = st
+        return out
 
 
 def parse_eval_csv(path: str, num_segments: int = 10):

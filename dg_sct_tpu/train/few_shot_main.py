@@ -65,23 +65,78 @@ def parse_args(argv=None):
     p.add_argument("--mode", choices=["train", "smoke"], default="smoke")
     p.add_argument("--k-shot", type=int, default=16)
     p.add_argument("--dataset", choices=["AVE", "LLP"], default="AVE")
+    p.add_argument("--meta", default="/root/reference/data/AVE")
+    p.add_argument("--label-train", default="/root/reference/data/AVVP/AVVP_train.csv")
+    p.add_argument("--label-test", default="/root/reference/data/AVVP/AVVP_test_pd.csv")
+    p.add_argument("--frames", default=None)
+    p.add_argument("--audio", default=None)
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--save-dir", default="checkpoints/few_shot")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--stage-epochs", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=43)
+    p.add_argument("--log-every", type=int, default=10)
     return p.parse_args(argv)
 
 
-def main(argv=None):
+class _Subset:
+    def __init__(self, ds, idxs):
+        self.ds, self.idxs = ds, list(idxs)
+
+    def __len__(self):
+        return len(self.idxs)
+
+    def __getitem__(self, i):
+        return self.ds[self.idxs[i]]
+
+
+def build_datasets(args, cfg):
+    """(train K-shot subset, test set, weak-label fn). AVE: clip class = first
+    foreground segment's class (few-shot/dataloader.py:119-135); LLP:
+    single-label rows only (pretrain/dataloader.py:150-161)."""
+    from ..data import ave as ave_data
+    from ..data import avvp as avvp_data
+    from ..data.vggsound import weak_labels
+
+    kw = dict(frame_dir=args.frames, audio_dir=args.audio,
+              img_size=cfg.clip.image_size, num_frames=cfg.num_frames,
+              segment_samples=cfg.htsat.frontend.clip_samples)
+    if args.dataset == "AVE":
+        train = ave_data.AVEDataset(args.meta, "train", **kw)
+        test = ave_data.AVEDataset(args.meta, "test", **kw)
+        cls_of = [int(np.argmax(weak_labels(train.labels[v][None])[0]))
+                  for v in train.ids]
+        label_fn = lambda b: weak_labels(b["gt"])
+    else:
+        train = avvp_data.LLPDataset(args.label_train, st_dir=None, **kw)
+        test = avvp_data.LLPDataset(args.label_test, st_dir=None, **kw)
+        single = [i for i, (_, t) in enumerate(train.samples) if t.sum() == 1]
+        train = _Subset(train, single)
+        cls_of = [int(np.argmax(train.ds.samples[i][1])) for i in train.idxs]
+        label_fn = lambda b: b["target"]
+    keep = few_shot_subsample(np.asarray(cls_of), args.k_shot, seed=args.seed)
+    return _Subset(train, keep), test, label_fn
+
+
+def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
     args = parse_args(argv)
-    from .zero_shot_main import classnames_for
-    names = classnames_for(args.dataset)
-    cfg = PretrainModelConfig(num_classes=len(names))
+    if cfg is None:
+        from .zero_shot_main import classnames_for
+        names = classnames or classnames_for(args.dataset)
+        cfg = PretrainModelConfig(num_classes=len(names))
+    else:
+        names = classnames
+    assert names is not None and len(names) == cfg.num_classes
     params, state, buffers = PT.init_pretrain_model(jax.random.PRNGKey(args.seed),
                                                     cfg, names)
     if args.ckpt:
-        loaded = ckpt_lib.load_params(args.ckpt)
-        params = ckpt_lib.restore_structure(params, loaded.get("params", loaded))
+        lp, ls = ckpt_lib.load_params_and_state(args.ckpt)
+        params = ckpt_lib.restore_structure(params, lp)
+        if ls is not None:
+            state = ckpt_lib.restore_structure(state, ls)
     tr, fr = partition_pretrain_params(params)
     tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
                      optax.adam(args.lr))
@@ -110,7 +165,56 @@ def main(argv=None):
         print(f"k-shot sampler: kept {len(keep)} of {len(fake)}")
         return
 
-    raise SystemExit("real few-shot training requires decoded media dirs")
+    # --- real K-shot fine-tuning (few-shot/main_AVE.py:96-230) ---
+    import os
+
+    from ..data import ave as ave_data
+    from ..utils.metrics_log import MetricsLogger
+    from .pretrain_train import make_pretrain_eval_step, weak_accuracy
+
+    train_ds, test_ds, label_fn = build_datasets(args, cfg)
+    print(f"{len(train_ds)} K-shot train clips ({args.k_shot}/class), "
+          f"{len(test_ds)} test clips")
+    estep = make_pretrain_eval_step(cfg, buffers)
+    logger = MetricsLogger(args.save_dir, run_name=f"few_shot_{args.dataset}",
+                           config=vars(args))
+    rng = jax.random.PRNGKey(args.seed)
+    best, gstep = -1.0, 0
+    for epoch in range(1, args.epochs + 1):
+        for batch in ave_data.batched_iterator(train_ds, args.batch_size,
+                                               seed=args.seed + epoch,
+                                               drop_last=False):
+            feed = {"wave": jnp.asarray(batch["wave"]),
+                    "image": jnp.asarray(batch["image"]),
+                    "label": jnp.asarray(label_fn(batch))}
+            tr, state, opt_state, m = step(tr, fr, state, opt_state, feed,
+                                           jax.random.fold_in(rng, gstep),
+                                           epoch=min(epoch, args.stage_epochs + 1))
+            if gstep % args.log_every == 0:
+                print(f"epoch {epoch} step {gstep}: loss={float(m['loss']):.2f}")
+                logger.log({"loss": float(m["loss"])}, step=gstep, prefix="train/")
+            gstep += 1
+        accs, n = [], 0
+        for batch in ave_data.batched_iterator(test_ds, args.batch_size,
+                                               shuffle=False, drop_last=False):
+            scores = estep(tr, fr, state, {"wave": jnp.asarray(batch["wave"]),
+                                           "image": jnp.asarray(batch["image"])})
+            b = len(batch["wave"])
+            accs.append(weak_accuracy(scores, label_fn(batch),
+                                      num_frames=cfg.num_frames) * b)
+            n += b
+        acc = sum(accs) / max(n, 1)
+        print(f"epoch {epoch}: test cls accuracy {acc:.2f} %")
+        logger.log({"cls_acc": acc}, step=gstep, prefix="test/")
+        if acc >= best:
+            best = acc
+            os.makedirs(args.save_dir, exist_ok=True)
+            ckpt_lib.save_train_state(
+                os.path.join(args.save_dir, f"few_shot_{args.dataset}_best.npz"),
+                params=dict(fr, **tr), state=state, opt_state=opt_state,
+                rng_key=rng, step=gstep, metadata={"epoch": epoch, "acc": acc})
+    logger.close()
+    return best
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -72,6 +73,38 @@ def make_pretrain_step(cfg: PretrainModelConfig, buffers, tx, *, donate=False):
         return trainable, new_state, opt_state, {"loss": loss}
 
     return step
+
+
+def make_pretrain_eval_step(cfg: PretrainModelConfig, buffers):
+    @jax.jit
+    def eval_step(trainable, frozen, state, batch):
+        params = dict(frozen)
+        params.update(trainable)
+        out, _ = pretrain.forward(params, state, buffers, batch["wave"],
+                                  batch["image"], cfg, train=False)
+        return out["event_scores"]
+
+    return eval_step
+
+
+def weak_accuracy(event_scores, weak_labels, *, num_frames):
+    """Clip-level classification accuracy (main_trans.py:181-215 weak branch;
+    zero_shot.py:160-177 cls modes): mean event scores over segments, argmax
+    vs the weak label's argmax."""
+    scores = np.asarray(event_scores)
+    B = scores.shape[0] // num_frames
+    clip = scores.reshape(B, num_frames, -1).mean(axis=1)
+    return 100.0 * float(np.mean(clip.argmax(-1) == np.asarray(weak_labels).argmax(-1)))
+
+
+def segment_accuracy(event_scores, gt):
+    """Per-segment event accuracy (zero_shot.py:154-156 `is_event_score`):
+    argmax of (B*T, n_cls) scores vs argmax of (B, T, n_cls_gt) GT. The GT may
+    carry a trailing background class the prompt set lacks — mirrored as-is."""
+    scores = np.asarray(event_scores)
+    gt = np.asarray(gt)
+    tgt = gt.reshape(-1, gt.shape[-1]).argmax(-1)
+    return 100.0 * float(np.mean(scores.argmax(-1) == tgt))
 
 
 def zero_shot_scores(params, state, buffers, wave, images, cfg, *, num_frames=10):

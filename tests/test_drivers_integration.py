@@ -93,3 +93,58 @@ def test_avqa_two_stage_loop(tmp_path):
     # per-type buckets from the synthetic types are present
     assert any(k.startswith("Audio-Visual") for k in accs)
     assert os.path.exists(os.path.join(root, "ckpt", "avst_best.npz"))
+
+
+def _tiny_pretrain_cfg(num_classes):
+    from dg_sct_tpu.configs import AdapterConfig, PretrainModelConfig
+    from tests.test_pretrain_model import tiny_clip
+
+    base = tiny_cfg()
+    ccfg = tiny_clip(vision_layers=sum(base.htsat.depths))
+    return PretrainModelConfig(
+        clip=ccfg, htsat=base.htsat,
+        adapter=AdapterConfig(reduction_factor=2, num_tokens=4),
+        num_frames=2, num_classes=num_classes)
+
+
+def test_pretrain_few_zero_shot_loops(tmp_path):
+    """Pretrain on a synthetic VGGSound-AVEL tree, then zero-shot and K-shot
+    few-shot on a synthetic AVE tree, all from the saved checkpoint."""
+    from dg_sct_tpu.train import few_shot_main, pretrain_main, zero_shot_main
+
+    cats = ["dog barking", "violin", "helicopter"]
+    cfg = _tiny_pretrain_cfg(len(cats))
+
+    vgg_root = str(tmp_path / "vgg")
+    tree = media_tree.make_vggsound_tree(
+        vgg_root, [f"{i:06d}" for i in range(4)], cats, n_frames=3,
+        img_size=cfg.clip.image_size, wave_samples=2 * TINY_WAVE)
+    argv = ["--mode", "train", "--epochs", "1", "--batch-size", "2",
+            "--root", vgg_root, "--frames", tree["frames"],
+            "--audio", tree["audio"],
+            "--save-dir", os.path.join(vgg_root, "ckpt")]
+    ckpt = pretrain_main.main(argv, cfg=cfg, classnames=cats)
+    assert ckpt and os.path.exists(ckpt)
+
+    # zero-shot eval on a synthetic AVE tree with the SAME tiny class list
+    ave_root = str(tmp_path / "ave")
+    os.makedirs(ave_root)
+    atree = media_tree.make_ave_tree(ave_root, ["za", "zb"], cats, n_frames=3,
+                                     img_size=cfg.clip.image_size,
+                                     wave_samples=2 * TINY_WAVE)
+    zargv = ["--mode", "eval", "--dataset", "AVE", "--ckpt", ckpt,
+             "--meta", ave_root, "--frames", atree["frames"],
+             "--audio", atree["audio"], "--batch-size", "2"]
+    acc_ev = zero_shot_main.main(zargv, cfg=cfg, classnames=cats)
+    acc_cls = zero_shot_main.main(zargv + ["--cls"], cfg=cfg, classnames=cats)
+    assert 0.0 <= acc_ev <= 100.0 and 0.0 <= acc_cls <= 100.0
+
+    # few-shot fine-tuning from the pretrain checkpoint (K=1)
+    fargv = ["--mode", "train", "--dataset", "AVE", "--k-shot", "1",
+             "--epochs", "1", "--batch-size", "2", "--ckpt", ckpt,
+             "--meta", ave_root, "--frames", atree["frames"],
+             "--audio", atree["audio"],
+             "--save-dir", os.path.join(ave_root, "ckpt")]
+    best = few_shot_main.main(fargv, cfg=cfg, classnames=cats)
+    assert 0.0 <= best <= 100.0
+    assert os.path.exists(os.path.join(ave_root, "ckpt", "few_shot_AVE_best.npz"))
