@@ -27,7 +27,7 @@ from ..configs import AdapterConfig, AVEModelConfig, ave_adapter_dims, ave_paire
 from . import adapter as A
 from . import htsat as H
 from . import swinv2 as S
-from ..ops.basic import layer_norm, mlp
+from ..ops.basic import drop_path, layer_norm, mlp
 
 
 def init_adapters(key, cfg: AVEModelConfig, dtype=jnp.float32):
@@ -85,47 +85,72 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
     v_maps = a_maps = None
     stage_taps = []
 
-    def paired_step_impl(blk_params, blk_state, f_v, f_a, vmeta, ameta):
+    def paired_step_impl(blk_params, blk_state, f_v, f_a, blk_rng, vmeta, ameta):
         """One paired interleave step (net_trans.py:891-908) — rematerialized
         under training so backward recomputes instead of storing the per-block
-        activations (HBM is the binding constraint on-chip)."""
+        activations (HBM is the binding constraint on-chip).
+
+        Stochastic depth matches the reference during training: the visual
+        attn/mlp residuals pass through `drop_path1/2` (net_trans.py:894,903;
+        swin dpr linearly spaced to 0.2) and the HTS-AT block applies its own
+        (htsat.py:237-246, dpr to 0.1). Adapter residuals are NOT drop-pathed,
+        exactly as in the reference."""
         vparams, aparams, ad = blk_params
         new_st = {}
         a_res, _, new_st["a_p1"] = A.adapter(ad["a_p1"], blk_state["a_p1"],
                                              f_a, f_v, acfg, train=train)
         v_res, _, new_st["v_p1"] = A.adapter(ad["v_p1"], blk_state["v_p1"],
                                              f_v, f_a, acfg, train=train)
-        f_v = f_v + layer_norm(vparams["norm1"], S.attn_part(vparams, f_v, vmeta))
-        f_v = f_v + v_res
+        dp_on = train and blk_rng is not None and vmeta["dpr"] > 0
+        r1 = r2 = ra = None
+        if train and blk_rng is not None:
+            r1, r2, ra = jax.random.split(blk_rng, 3)
+        v_attn = layer_norm(vparams["norm1"], S.attn_part(vparams, f_v, vmeta))
+        if dp_on:
+            v_attn = drop_path(r1, v_attn, vmeta["dpr"], train)
+        f_v = f_v + v_attn + v_res
         f_a = H.block(aparams, f_a, dim=ameta["dim"], heads=ameta["heads"],
                       res=ameta["res"], ws=ameta["ws"], shift=ameta["shift"],
-                      drop_path_rate=ameta["dpr"], train=train, rng=None)
+                      drop_path_rate=ameta["dpr"], train=train, rng=ra)
         f_a = f_a + a_res
         a_res, a_maps, new_st["a_p2"] = A.adapter(ad["a_p2"], blk_state["a_p2"],
                                                   f_a, f_v, acfg, train=train)
         v_res, v_maps, new_st["v_p2"] = A.adapter(ad["v_p2"], blk_state["v_p2"],
                                                   f_v, f_a, acfg, train=train)
-        f_v = f_v + layer_norm(vparams["norm2"], mlp(vparams["mlp"], f_v))
-        f_v = f_v + v_res
+        v_mlp = layer_norm(vparams["norm2"], mlp(vparams["mlp"], f_v))
+        if dp_on:
+            v_mlp = drop_path(r2, v_mlp, vmeta["dpr"], train)
+        f_v = f_v + v_mlp + v_res
         f_a = f_a + a_res
         return f_v, f_a, a_maps, v_maps, new_st
 
     # meta dicts are static Python structure — close over them per block and
     # checkpoint only the array-pytree signature
     def make_paired(vmeta, ameta):
-        fn = lambda bp, bs, fv, fa: paired_step_impl(bp, bs, fv, fa, vmeta, ameta)
+        fn = lambda bp, bs, fv, fa, br: paired_step_impl(bp, bs, fv, fa, br,
+                                                         vmeta, ameta)
         return jax.checkpoint(fn) if train else fn
 
     def make_plain(vmeta):
-        fn = lambda vp, fv: S.block(vp, fv, vmeta, train=train)
+        fn = lambda vp, fv, br: S.block(vp, fv, vmeta, train=train, rng=br)
         return jax.checkpoint(fn) if train else fn
+
+    tower_rng = rngs.get("towers") if train else None
+    blk_counter = 0
+
+    def next_rng():
+        nonlocal blk_counter
+        blk_counter += 1
+        if tower_rng is None:
+            return None
+        return jax.random.fold_in(tower_rng, blk_counter)
 
     for s_idx, stage in enumerate(layout):
         for (vb, ab, ai) in stage:
             vparams = params["swin"]["layers"][s_idx]["blocks"][vb]
             vmeta = vis_plan[s_idx][vb]
             if ai is None:
-                f_v = make_plain(vmeta)(vparams, f_v)
+                f_v = make_plain(vmeta)(vparams, f_v, next_rng())
                 continue
             aparams = params["htsat"]["layers"][s_idx]["blocks"][ab]
             ameta = aud_plan[s_idx][ab]
@@ -135,7 +160,7 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
             blk_state = {k: state["adapters"][k][ai] for k in
                          ("a_p1", "v_p1", "a_p2", "v_p2")}
             f_v, f_a, a_maps, v_maps, new_st = make_paired(vmeta, ameta)(
-                blk_params, blk_state, f_v, f_a)
+                blk_params, blk_state, f_v, f_a, next_rng())
             for k in new_st:
                 new_adapter_state[k][ai] = new_st[k]
 

@@ -111,3 +111,39 @@ def test_zero_gates_mean_adapters_inert_at_init(tiny_model):
     res, maps, _ = A.adapter(p, s, x, other, cfg.adapter, train=False)
     assert np.allclose(np.asarray(res), 0.0)
     assert maps.shape == (2, 1, 256)
+
+
+@pytest.mark.slow
+def test_drop_path_active_in_training():
+    """Stochastic depth (net_trans.py:894,903; htsat dpr) fires under train
+    rng and is inert at eval. Params are dpr-independent, so the same tree
+    runs under both configs."""
+    from dg_sct_tpu.models import interleave as I
+
+    cfg0 = tiny_cfg()
+    swin_dp = dataclasses.replace(cfg0.swin, drop_path_rate=0.5)
+    htsat_dp = dataclasses.replace(cfg0.htsat, drop_path_rate=0.5)
+    cfg_dp = dataclasses.replace(cfg0, swin=swin_dp, htsat=htsat_dp)
+
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg0)
+    rs = np.random.RandomState(0)
+    N = 2
+    wave = jnp.asarray(rs.randn(N, cfg0.htsat.frontend.clip_samples).astype(np.float32))
+    imgs = jnp.asarray(rs.rand(N, 64, 64, 3).astype(np.float32))
+    rng = jax.random.PRNGKey(7)
+
+    out0, _ = I.forward(params, state, wave, imgs, cfg0, train=True, rng=rng)
+    out_dp, _ = I.forward(params, state, wave, imgs, cfg_dp, train=True, rng=rng)
+    # same rng -> same SpecAugment; only drop_path differs between configs
+    assert np.max(np.abs(np.asarray(out0["f_v"]) - np.asarray(out_dp["f_v"]))) > 1e-6
+
+    # deterministic and dpr-independent at eval
+    e0, _ = I.forward(params, state, wave, imgs, cfg0, train=False)
+    e1, _ = I.forward(params, state, wave, imgs, cfg_dp, train=False)
+    np.testing.assert_allclose(np.asarray(e0["f_v"]), np.asarray(e1["f_v"]),
+                               atol=0)
+
+    # same train rng twice -> bit-identical (keys are derived, not stateful)
+    out_dp2, _ = I.forward(params, state, wave, imgs, cfg_dp, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(out_dp["f_v"]),
+                               np.asarray(out_dp2["f_v"]), atol=0)
