@@ -217,27 +217,11 @@ def forward(params, state, buffers, wave, images, cfg: PretrainModelConfig, *,
     return out, {"htsat": new_htsat_state, "adapters": new_adapter_state}
 
 
-def compute_clap_text_features(classnames, *, weak=True):
+def compute_clap_text_features(classnames, *, weak=True, clap_state_dict=None):
     """Host-side CLAP text features: "The sounds of <name>" through the CLAP
-    text branch (RoBERTa + projection). Requires torch+transformers and CLAP
-    text weights; used at conversion time. Returns (n_cls, 512) numpy."""
-    import numpy as np
-    names = list(classnames) + ([] if weak else ["background"])
-    try:
-        import torch
-        from transformers import RobertaModel, RobertaTokenizer
-        tok = RobertaTokenizer.from_pretrained("roberta-base")
-        model = RobertaModel.from_pretrained("roberta-base").eval()
-        with torch.no_grad():
-            batch = tok(["The sounds of " + n for n in names], padding="max_length",
-                        truncation=True, max_length=77, return_tensors="pt")
-            pooled = model(input_ids=batch["input_ids"],
-                           attention_mask=batch["attention_mask"])["pooler_output"]
-        # NOTE: without the CLAP checkpoint's text_projection this is a
-        # base-RoBERTa feature; the converter overwrites with projected
-        # features when the 630k CLAP ckpt is available.
-        feats = pooled.numpy()[:, :512]
-        return feats / (np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
-    except Exception:
-        rs = np.random.RandomState(0)
-        return rs.randn(len(names), 512).astype(np.float32) * 0.02
+    text branch (RoBERTa-base) and `text_projection` MLP — the full
+    CLAPTextEncoder pipeline (see `models/clap_text.py`). Pass the 630k CLAP
+    checkpoint's state dict to run with real weights."""
+    from . import clap_text
+    return clap_text.compute_clap_text_features(
+        classnames, weak=weak, clap_state_dict=clap_state_dict)

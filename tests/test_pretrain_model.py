@@ -100,3 +100,37 @@ def test_few_shot_subsample():
     kept_labels = labels[keep]
     for c in (0, 1, 2):
         assert (kept_labels == c).sum() == 2
+
+
+def test_clap_text_pipeline():
+    """CLAPTextEncoder pipeline (prompt_learner.py:76-106): RoBERTa-base
+    text_branch -> pooler -> 768->512->512 projection. Shape, determinism,
+    background-class append, and checkpoint-state hookup."""
+    from dg_sct_tpu.models import clap_text as CT
+
+    feats = CT.compute_clap_text_features(["dog", "cat"], weak=True)
+    assert feats.shape == (2, 512) and feats.dtype == np.float32
+    assert np.isfinite(feats).all()
+    # weak=False appends 'background' (prompt_learner.py:81-83)
+    feats_bg = CT.compute_clap_text_features(["dog", "cat"], weak=False)
+    assert feats_bg.shape == (3, 512)
+    np.testing.assert_allclose(feats_bg[:2], feats, atol=1e-6)
+    # deterministic across calls (static buffer semantics)
+    np.testing.assert_allclose(
+        CT.compute_clap_text_features(["dog", "cat"]), feats, atol=0)
+
+    # converter hook: a synthetic CLAP state dict with the reference's key
+    # prefixes changes the projection output and round-trips the split
+    rs = np.random.RandomState(0)
+    sd = {
+        "text_projection.0.weight": rs.randn(512, 768).astype(np.float32) * 0.02,
+        "text_projection.0.bias": np.zeros(512, np.float32),
+        "text_projection.2.weight": rs.randn(512, 512).astype(np.float32) * 0.02,
+        "text_projection.2.bias": np.zeros(512, np.float32),
+    }
+    branch, transform, proj = CT.split_clap_text_state(sd)
+    assert set(proj) == {"0.weight", "0.bias", "2.weight", "2.bias"}
+    assert branch == {} and transform == {}
+    feats_ck = CT.compute_clap_text_features(["dog", "cat"], clap_state_dict=sd)
+    assert feats_ck.shape == (2, 512)
+    assert np.max(np.abs(feats_ck - feats)) > 1e-4
