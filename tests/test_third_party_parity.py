@@ -1,0 +1,262 @@
+"""Parity against REAL third-party implementations (HuggingFace transformers,
+baked into the image) — not builder-written mirrors.
+
+`transformers.Swinv2Model` is an independent implementation of the same
+Swin-V2 semantics as timm 0.6.12 (cosine attention, log-CPB, post-norm,
+V2 patch merging; modeling_swinv2.py credits timm directly). Transferring its
+randomly-initialized weights into our JAX tower and matching activations
+end-to-end validates every semantic detail against code we did not write.
+Same idea for CLIP (`transformers.CLIPModel` vs the vendored OpenAI CLIP the
+reference uses at `pretrain/nets/clip/model.py`).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from dg_sct_tpu.configs import SwinV2Config
+from dg_sct_tpu.models import swinv2 as S
+
+
+def _t(x):
+    return x.detach().numpy()
+
+
+def hf_swinv2_to_params(hf_model, cfg: SwinV2Config):
+    """Map a `transformers.Swinv2Model` state into our param tree."""
+    sd = {k: _t(v) for k, v in hf_model.state_dict().items()}
+    p = {
+        "patch_embed": {
+            # conv (E, C, P, P) -> (P, P, C, E)
+            "kernel": sd["embeddings.patch_embeddings.projection.weight"]
+                      .transpose(2, 3, 1, 0),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+            "norm": {"scale": sd["embeddings.norm.weight"],
+                     "bias": sd["embeddings.norm.bias"]},
+        },
+        "norm": {"scale": sd["layernorm.weight"], "bias": sd["layernorm.bias"]},
+        "layers": [],
+    }
+    for s in range(cfg.num_layers):
+        blocks = []
+        for d in range(cfg.depths[s]):
+            b = f"encoder.layers.{s}.blocks.{d}."
+            a = b + "attention.self."
+            qkv = np.concatenate([sd[a + "query.weight"].T,
+                                  sd[a + "key.weight"].T,
+                                  sd[a + "value.weight"].T], axis=1)
+            blocks.append({
+                "attn": {
+                    "qkv": {"kernel": qkv},
+                    "q_bias": sd[a + "query.bias"],
+                    "v_bias": sd[a + "value.bias"],
+                    "logit_scale": sd[a + "logit_scale"],
+                    "cpb_fc1": {"kernel": sd[a + "continuous_position_bias_mlp.0.weight"].T,
+                                "bias": sd[a + "continuous_position_bias_mlp.0.bias"]},
+                    "cpb_fc2": {"kernel": sd[a + "continuous_position_bias_mlp.2.weight"].T},
+                    "proj": {"kernel": sd[b + "attention.output.dense.weight"].T,
+                             "bias": sd[b + "attention.output.dense.bias"]},
+                },
+                "norm1": {"scale": sd[b + "layernorm_before.weight"],
+                          "bias": sd[b + "layernorm_before.bias"]},
+                "mlp": {"fc1": {"kernel": sd[b + "intermediate.dense.weight"].T,
+                                "bias": sd[b + "intermediate.dense.bias"]},
+                        "fc2": {"kernel": sd[b + "output.dense.weight"].T,
+                                "bias": sd[b + "output.dense.bias"]}},
+                "norm2": {"scale": sd[b + "layernorm_after.weight"],
+                          "bias": sd[b + "layernorm_after.bias"]},
+            })
+        stage = {"blocks": blocks}
+        dkey = f"encoder.layers.{s}.downsample."
+        if dkey + "reduction.weight" in sd:
+            stage["downsample"] = {
+                "reduction": {"kernel": sd[dkey + "reduction.weight"].T},
+                "norm": {"scale": sd[dkey + "norm.weight"],
+                         "bias": sd[dkey + "norm.bias"]},
+            }
+        p["layers"].append(stage)
+    return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+@pytest.mark.parametrize("img,embed,depths,heads,window", [
+    (64, 16, (1, 1, 2, 1), (2, 2, 2, 2), 4),      # tiny, all shift cases
+    (96, 24, (2, 2, 2, 2), (2, 4, 4, 8), 12),     # window-12 at 2-block depth
+])
+def test_swinv2_tower_matches_transformers(img, embed, depths, heads, window):
+    from transformers import Swinv2Config as HFConfig
+    from transformers import Swinv2Model
+
+    hf_cfg = HFConfig(image_size=img, patch_size=4, num_channels=3,
+                      embed_dim=embed, depths=list(depths),
+                      num_heads=list(heads), window_size=window,
+                      drop_path_rate=0.0, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0,
+                      use_absolute_embeddings=False)
+    torch.manual_seed(0)
+    hf = Swinv2Model(hf_cfg).eval()
+
+    cfg = SwinV2Config(img_size=img, patch_size=4, embed_dim=embed,
+                       depths=depths, num_heads=heads, window_size=window,
+                       drop_path_rate=0.0, pretrained_window_sizes=(0, 0, 0, 0))
+    params = hf_swinv2_to_params(hf, cfg)
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, img, img, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    ours = np.asarray(S.forward_features(params, jnp.asarray(x), cfg))
+    assert ours.shape == ref.shape
+    # both are float32 towers; per-stage drift is ~1e-5 growing to ~1e-3 over
+    # the full depth (verified stage-by-stage) — a semantic mismatch (wrong
+    # CPB normalization, shift mask, merge order, ...) produces O(0.1+) error
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=1e-2)
+
+
+def _clip_resblock(sd, pre):
+    qkv_k = np.concatenate([sd[pre + "self_attn.q_proj.weight"].T,
+                            sd[pre + "self_attn.k_proj.weight"].T,
+                            sd[pre + "self_attn.v_proj.weight"].T], axis=1)
+    qkv_b = np.concatenate([sd[pre + "self_attn.q_proj.bias"],
+                            sd[pre + "self_attn.k_proj.bias"],
+                            sd[pre + "self_attn.v_proj.bias"]])
+    return {
+        "ln_1": {"scale": sd[pre + "layer_norm1.weight"],
+                 "bias": sd[pre + "layer_norm1.bias"]},
+        "attn": {"in_proj": {"kernel": qkv_k, "bias": qkv_b},
+                 "out_proj": {"kernel": sd[pre + "self_attn.out_proj.weight"].T,
+                              "bias": sd[pre + "self_attn.out_proj.bias"]}},
+        "ln_2": {"scale": sd[pre + "layer_norm2.weight"],
+                 "bias": sd[pre + "layer_norm2.bias"]},
+        "mlp": {"c_fc": {"kernel": sd[pre + "mlp.fc1.weight"].T,
+                         "bias": sd[pre + "mlp.fc1.bias"]},
+                "c_proj": {"kernel": sd[pre + "mlp.fc2.weight"].T,
+                           "bias": sd[pre + "mlp.fc2.bias"]}},
+    }
+
+
+def test_clip_towers_match_transformers():
+    """Our OpenAI-CLIP towers (`pretrain/nets/clip/model.py` rebuild) vs
+    `transformers.CLIPModel` — an independent implementation of the same
+    architecture (quick_gelu, pre-LN resblocks, EOT pooling, projections)."""
+    from transformers import CLIPConfig as HFCLIPConfig
+    from transformers import CLIPModel
+    from dg_sct_tpu.configs import CLIPConfig
+    from dg_sct_tpu.models import clip as C
+
+    width, layers, heads, embed, patch, img = 32, 2, 2, 16, 8, 32
+    twidth, tlayers, theads, vocab, ctx = 24, 2, 2, 49408, 77
+    hf_cfg = HFCLIPConfig(
+        projection_dim=embed,
+        vision_config=dict(hidden_size=width, intermediate_size=4 * width,
+                           num_hidden_layers=layers, num_attention_heads=heads,
+                           image_size=img, patch_size=patch,
+                           hidden_act="quick_gelu", attention_dropout=0.0),
+        text_config=dict(hidden_size=twidth, intermediate_size=4 * twidth,
+                         num_hidden_layers=tlayers, num_attention_heads=theads,
+                         vocab_size=vocab, max_position_embeddings=ctx,
+                         hidden_act="quick_gelu", attention_dropout=0.0))
+    torch.manual_seed(1)
+    hf = CLIPModel(hf_cfg).eval()
+    sd = {k: _t(v) for k, v in hf.state_dict().items()}
+
+    cfg = CLIPConfig(image_size=img, vision_patch=patch, vision_width=width,
+                     vision_layers=layers, vision_heads=heads, embed_dim=embed,
+                     context_length=ctx, text_width=twidth, text_layers=tlayers,
+                     text_heads=theads, vocab_size=vocab)
+
+    vp = {
+        "conv1": {"kernel": sd["vision_model.embeddings.patch_embedding.weight"]
+                  .transpose(2, 3, 1, 0)},
+        "class_embedding": sd["vision_model.embeddings.class_embedding"],
+        "positional_embedding": sd["vision_model.embeddings.position_embedding.weight"],
+        "ln_pre": {"scale": sd["vision_model.pre_layrnorm.weight"],
+                   "bias": sd["vision_model.pre_layrnorm.bias"]},
+        "resblocks": [_clip_resblock(sd, f"vision_model.encoder.layers.{i}.")
+                      for i in range(layers)],
+        "ln_post": {"scale": sd["vision_model.post_layernorm.weight"],
+                    "bias": sd["vision_model.post_layernorm.bias"]},
+        "proj": sd["visual_projection.weight"].T,
+    }
+    tp = {
+        "token_embedding": sd["text_model.embeddings.token_embedding.weight"],
+        "positional_embedding": sd["text_model.embeddings.position_embedding.weight"],
+        "resblocks": [_clip_resblock(sd, f"text_model.encoder.layers.{i}.")
+                      for i in range(tlayers)],
+        "ln_final": {"scale": sd["text_model.final_layer_norm.weight"],
+                     "bias": sd["text_model.final_layer_norm.bias"]},
+        "text_projection": sd["text_projection.weight"].T,
+        "logit_scale": np.float32(_t(hf.logit_scale)),
+    }
+    vp = jax.tree_util.tree_map(jnp.asarray, vp)
+    tp = jax.tree_util.tree_map(jnp.asarray, tp)
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, img, img, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_v = hf.get_image_features(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours_v = np.asarray(C.visual_forward(vp, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(ours_v, ref_v, atol=1e-4, rtol=1e-3)
+
+    tok = np.full((2, ctx), 3, np.int64)     # body ids; EOT = max id = 49407
+    tok[0, :6] = [49406, 10, 20, 30, 40, 49407]
+    tok[0, 6:] = 0
+    tok[1, :3] = [49406, 11, 49407]
+    tok[1, 3:] = 0
+    with torch.no_grad():
+        ref_t = hf.get_text_features(input_ids=torch.from_numpy(tok)).numpy()
+    ours_t = np.asarray(C.encode_text(tp, jnp.asarray(tok), cfg))
+    np.testing.assert_allclose(ours_t, ref_t, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_htsat_block_matches_transformers_clap(shift):
+    """Our HTS-AT pre-norm V1 Swin block (htsat.py:210-251 rebuild) vs
+    `transformers` CLAP's audio layer — an independent implementation of the
+    same V1 window attention (relative-position-bias table, pre-norm
+    residuals, shifted-window masking)."""
+    from transformers import ClapAudioConfig
+    from transformers.models.clap.modeling_clap import ClapAudioLayer
+    from dg_sct_tpu.models import htsat as H
+
+    dim, heads, res, ws = 16, 2, (8, 8), 4
+    cfg = ClapAudioConfig(window_size=ws, drop_path_rate=0.0,
+                          hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0)
+    torch.manual_seed(2)
+    layer = ClapAudioLayer(cfg, dim=dim, input_resolution=res,
+                           num_heads=heads, shift_size=shift).eval()
+    sd = {k: _t(v) for k, v in layer.state_dict().items()}
+
+    params = {
+        "norm1": {"scale": sd["layernorm_before.weight"],
+                  "bias": sd["layernorm_before.bias"]},
+        "attn": {
+            "qkv": {"kernel": np.concatenate(
+                        [sd["attention.self.query.weight"].T,
+                         sd["attention.self.key.weight"].T,
+                         sd["attention.self.value.weight"].T], axis=1),
+                    "bias": np.concatenate(
+                        [sd["attention.self.query.bias"],
+                         sd["attention.self.key.bias"],
+                         sd["attention.self.value.bias"]])},
+            "proj": {"kernel": sd["attention.output.dense.weight"].T,
+                     "bias": sd["attention.output.dense.bias"]},
+            "rpb_table": sd["attention.self.relative_position_bias_table"],
+        },
+        "norm2": {"scale": sd["layernorm_after.weight"],
+                  "bias": sd["layernorm_after.bias"]},
+        "mlp": {"fc1": {"kernel": sd["intermediate.dense.weight"].T,
+                        "bias": sd["intermediate.dense.bias"]},
+                "fc2": {"kernel": sd["output.dense.weight"].T,
+                        "bias": sd["output.dense.bias"]}},
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, res[0] * res[1], dim).astype(np.float32)
+    with torch.no_grad():
+        ref = layer(torch.from_numpy(x), res)[0].numpy()
+    ours = np.asarray(H.block(params, jnp.asarray(x), dim=dim, heads=heads,
+                              res=res, ws=ws, shift=shift))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
