@@ -25,6 +25,7 @@ from ..data import ave as ave_data
 from ..models import ave as ave_model
 from ..parallel import mesh as M
 from ..utils import checkpoint as ckpt_lib
+from ..utils.metrics_log import MetricsLogger
 from . import ave_train
 from .optim import count_params
 
@@ -120,6 +121,7 @@ def main(argv=None):
         return
 
     mesh = M.make_mesh()
+    logger = MetricsLogger(args.save_dir, run_name="ave", config=vars(args))
     best, stale = 0.0, 0
     for epoch in range(1, tcfg.epochs + 1):
         for i, batch in enumerate(ave_data.batched_iterator(
@@ -131,9 +133,12 @@ def main(argv=None):
                                            jax.random.fold_in(rng, epoch * 100000 + i))
             if i % 50 == 0:
                 print(f"epoch {epoch} step {i}: loss={float(m['loss']):.4f}")
+                logger.log({"loss": float(m["loss"]), "acc": float(m["acc"])},
+                           step=epoch * steps_per_epoch + i, prefix="train/")
         acc = evaluate(estep, tr, fr, state,
                        ave_data.batched_iterator(test_ds, tcfg.batch_size, shuffle=False))
         print(f"epoch {epoch}: val acc {acc:.2f}")
+        logger.log({"acc": acc}, step=(epoch + 1) * steps_per_epoch, prefix="val/")
         if acc >= best:
             best, stale = acc, 0
             os.makedirs(args.save_dir, exist_ok=True)

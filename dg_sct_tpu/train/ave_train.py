@@ -48,8 +48,21 @@ def canonicalize(tree):
 
 
 def make_optimizer(trainable, train_cfg: TrainConfig, steps_per_epoch: int):
-    sched = step_lr(train_cfg.lr, train_cfg.decay_epoch, train_cfg.decay, steps_per_epoch)
-    tx = optax.adam(sched)
+    """Adam + StepLR over the trainable tree, with the reference's per-group
+    lr split: `mlp_class` trains at `lr_mlp`, everything else at `lr`
+    (main_trans.py:211-270 name walk; both default 5e-4)."""
+    from .optim import group_labels
+
+    def adam_at(lr):
+        return optax.adam(step_lr(lr, train_cfg.decay_epoch, train_cfg.decay,
+                                  steps_per_epoch))
+
+    if train_cfg.lr_mlp != train_cfg.lr:
+        tx = optax.multi_transform(
+            {"train": adam_at(train_cfg.lr), "mlp": adam_at(train_cfg.lr_mlp)},
+            group_labels(trainable))
+    else:
+        tx = adam_at(train_cfg.lr)
     if train_cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, train_cfg.accum_steps)
     return tx

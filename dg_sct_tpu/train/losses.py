@@ -27,11 +27,6 @@ def cross_entropy(logits, labels):
     return jnp.mean(nll)
 
 
-def label_smoothed_bce(logits, targets, smooth=0.9):
-    """AVVP label-denoising BCE: target scaled toward `smooth` (main.py:58-63)."""
-    return bce_with_logits(logits, targets * smooth)
-
-
 def info_nce(features_a, features_b, temperature=0.07):
     """Symmetric InfoNCE over paired embeddings (criterion.py InfoNCELoss)."""
     a = features_a / (jnp.linalg.norm(features_a, axis=-1, keepdims=True) + 1e-8)

@@ -41,21 +41,6 @@ def step_lr(base_lr: float, decay_epoch: int, decay: float, steps_per_epoch: int
     return sched
 
 
-def make_optimizer(params, *, lr=5e-4, lr_mlp=5e-4, decay_epoch=10, decay=0.1,
-                   steps_per_epoch=1000):
-    """Adam with per-group lrs and frozen backbones."""
-    labels = group_labels(params)
-    tx = optax.multi_transform(
-        {
-            "frozen": optax.set_to_zero(),
-            "train": optax.adam(step_lr(lr, decay_epoch, decay, steps_per_epoch)),
-            "mlp": optax.adam(step_lr(lr_mlp, decay_epoch, decay, steps_per_epoch)),
-        },
-        labels,
-    )
-    return tx
-
-
 def count_params(params):
     """(total, trainable, frozen) parameter counts — reproduces the
     parameter-efficiency accounting printed at main_trans.py:271-273."""

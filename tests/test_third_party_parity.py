@@ -260,3 +260,23 @@ def test_htsat_block_matches_transformers_clap(shift):
     ours = np.asarray(H.block(params, jnp.asarray(x), dim=dim, heads=heads,
                               res=res, ws=ws, shift=shift))
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_mel_filterbank_matches_transformers_audio_utils():
+    """Our slaney mel filterbank (ops/dsp.py, rebuilt from torchlibrosa's
+    librosa.filters.mel defaults) vs `transformers.audio_utils.mel_filter_bank`
+    — an independent reimplementation of the same librosa algorithm. Exact
+    matrix comparison at the production geometry (sr 32k, n_fft 1024, 64 mels,
+    50-14000 Hz; esc_config.py:48-54)."""
+    from transformers.audio_utils import mel_filter_bank
+    from dg_sct_tpu.ops import dsp
+
+    for sr, n_fft, n_mels, fmin, fmax in [(32000, 1024, 64, 50.0, 14000.0),
+                                          (3200, 256, 16, 0.0, 1500.0)]:
+        ours = dsp.mel_filterbank(sr, n_fft, n_mels, fmin, fmax)  # (F, mels)
+        ref = mel_filter_bank(
+            num_frequency_bins=1 + n_fft // 2, num_mel_filters=n_mels,
+            min_frequency=fmin, max_frequency=fmax, sampling_rate=sr,
+            norm="slaney", mel_scale="slaney")                    # (F, mels)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref.astype(np.float32), atol=1e-7)
