@@ -1,8 +1,15 @@
 """Benchmark: end-to-end 10-s AV clip pairs/sec on the flagship AVE model.
 
-Runs the full eval forward (wave -> STFT -> log-mel -> dual-tower interleave
-with 48 adapter calls -> heads) in bfloat16 on the attached TPU and prints ONE
-JSON line.
+Measures three things on the attached TPU chip and prints ONE JSON line:
+  * `value` (headline): eval-forward clip pairs/sec/chip in bfloat16 with
+    device-resident inputs (compute ceiling of the serving path);
+  * `train_clips_per_sec`: full jitted training-step throughput (fwd + bwd +
+    Adam update, rematerialized interleave);
+  * `e2e_clips_per_sec`: host-pipeline mode — synthetic JPEG tree decoded by
+    the native C++ IO core through `batched_iterator`, overlapping the device
+    forward (what BASELINE.md means by "e2e");
+  * `mfu_pct` / `hbm_util_pct`: XLA cost analysis of the forward executable
+    divided by the measured step time (v5e peak: 197 bf16 TFLOP/s, 819 GB/s).
 
 Methodology notes (the tunnel runtime caches identical executions and
 `block_until_ready` does not reliably fence): every timed call uses a DISTINCT
@@ -10,7 +17,10 @@ pre-staged device input and the full output is fetched to host inside the
 timed region.
 
 Baseline: 500 clip pairs/sec on v5e-8 (= 62.5/chip); vs_baseline is measured
-per-chip throughput / 62.5.
+per-chip eval throughput / 62.5.
+
+Env knobs: BENCH_BATCH (8), BENCH_ITERS (8), BENCH_TRAIN=0/1 (1),
+BENCH_E2E=0/1 (1), BENCH_PALLAS=0/1 (0).
 """
 from __future__ import annotations
 
@@ -19,6 +29,135 @@ import os
 import time
 
 import numpy as np
+
+V5E_PEAK_FLOPS = 197e12   # bf16
+V5E_PEAK_HBM = 819e9      # bytes/s
+
+
+def _timed(fn, inputs):
+    t0 = time.perf_counter()
+    outs = [np.asarray(fn(*args)) for args in inputs]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(o).all() for o in outs)
+    return dt
+
+
+def bench_forward(cfg, params, state, B, M):
+    import jax
+    import jax.numpy as jnp
+    from dg_sct_tpu.models import ave
+
+    @jax.jit
+    def fwd(params, state, wave, images):
+        out, _ = ave.forward(params, state, wave, images, cfg, train=False)
+        return out["event_scores"]
+
+    rs = np.random.RandomState(0)
+    T = cfg.num_frames
+    waves = [jnp.asarray((rs.randn(B, T, cfg.htsat.frontend.clip_samples) * 0.1)
+                         .astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
+    imgs = [jnp.asarray(rs.rand(B, T, cfg.swin.img_size, cfg.swin.img_size, 3)
+                        .astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
+    jax.block_until_ready([waves, imgs])
+    _ = np.asarray(fwd(params, state, waves[0], imgs[0]))  # compile+warm
+
+    dt = _timed(fwd, [(params, state, waves[i], imgs[i]) for i in range(M)])
+    clips_per_sec = B * M / dt
+
+    step_s = dt / M
+    try:
+        ca = fwd.lower(params, state, waves[0], imgs[0]).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        mfu = 100.0 * ca.get("flops", 0) / step_s / V5E_PEAK_FLOPS
+        hbm = 100.0 * ca.get("bytes accessed", 0) / step_s / V5E_PEAK_HBM
+    except Exception:  # some remote-compile runtimes reject the AOT re-lower
+        mfu = hbm = float("nan")
+    return clips_per_sec, mfu, hbm
+
+
+def bench_train(B, M):
+    """Training-step throughput at full size (f32 params, bf16 compute)."""
+    import jax
+    import jax.numpy as jnp
+    from dg_sct_tpu.configs import AVEModelConfig, TrainConfig
+    from dg_sct_tpu.data import ave as ave_data
+    from dg_sct_tpu.models import ave
+    from dg_sct_tpu.train import ave_train
+
+    cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    tpu = jax.devices()[0]
+    tr, fr = ave_train.partition_params(params)
+    tr, fr, state = (jax.device_put(t, tpu) for t in (tr, fr, state))
+    tx = ave_train.make_optimizer(tr, TrainConfig(accum_steps=1), steps_per_epoch=100)
+    opt_state = jax.device_put(tx.init(tr), tpu)
+    step = ave_train.make_train_step(cfg, tx, donate=False)
+
+    batches = []
+    for i in range(M):
+        b = ave_data.synthetic_batch(B, seed=i)
+        b["mixup_lambda"] = np.random.RandomState(i).beta(
+            0.5, 0.5, size=(B * cfg.num_frames,)).astype(np.float32)
+        batches.append({k: jax.device_put(jnp.asarray(v), tpu) for k, v in b.items()})
+    rng = jax.random.PRNGKey(1)
+
+    tr, state, opt_state, m = step(tr, fr, state, opt_state, batches[0], rng)
+    _ = float(m["loss"])  # force
+    t0 = time.perf_counter()
+    for i in range(M):
+        tr, state, opt_state, m = step(tr, fr, state, opt_state, batches[i],
+                                       jax.random.fold_in(rng, i))
+        _ = float(m["loss"])
+    dt = time.perf_counter() - t0
+    return B * M / dt
+
+
+def bench_e2e(cfg, params, state, B, M):
+    """Host pipeline -> device: decode a synthetic JPEG tree via the native IO
+    core + threaded batched_iterator, overlapping the device forward."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from dg_sct_tpu.data import ave as ave_data
+    from dg_sct_tpu.models import ave
+
+    @jax.jit
+    def fwd(params, state, wave, images):
+        out, _ = ave.forward(params, state,
+                             wave.astype(jnp.bfloat16),
+                             images.astype(jnp.bfloat16), cfg, train=False)
+        return out["event_scores"]
+
+    tmp = tempfile.mkdtemp(prefix="dg_sct_bench_")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from media_tree import make_ave_tree
+    n_videos = B * M
+    cats = [f"c{i}" for i in range(4)]
+    tree = make_ave_tree(tmp, [f"v{i:04d}" for i in range(n_videos)], cats,
+                         n_frames=10, img_size=320,
+                         wave_samples=10 * cfg.htsat.frontend.clip_samples)
+    ds = ave_data.AVEDataset(tmp, "train", frame_dir=tree["frames"],
+                             audio_dir=tree["audio"],
+                             img_size=cfg.swin.img_size)
+
+    # warm compile with one synthetic batch
+    b0 = ave_data.synthetic_batch(B)
+    _ = np.asarray(fwd(params, state, jnp.asarray(b0["wave"]),
+                       jnp.asarray(b0["image"])))
+
+    n = 0
+    t0 = time.perf_counter()
+    for batch in ave_data.batched_iterator(ds, B, shuffle=False, num_workers=8,
+                                           prefetch=4):
+        out = np.asarray(fwd(params, state, jnp.asarray(batch["wave"]),
+                             jnp.asarray(batch["image"])))
+        n += batch["wave"].shape[0]
+    dt = time.perf_counter() - t0
+    return n / dt
 
 
 def main():
@@ -32,11 +171,12 @@ def main():
     from dg_sct_tpu.models import ave
     from dg_sct_tpu.ops import windows as W
 
-    if os.environ.get("BENCH_PALLAS", "0") == "1":  # XLA path measures ~equal and is the default
+    if os.environ.get("BENCH_PALLAS", "0") == "1":
         W.set_pallas(True)
+    if os.environ.get("BENCH_FUSED", "0") == "1":
+        W.set_fused_block(True)
 
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
-    # init on host CPU (on-device init crawls through the tunnel's RPC latency)
     with jax.default_device(jax.devices("cpu")[0]):
         params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
         cast = lambda t: jax.tree_util.tree_map(
@@ -46,43 +186,36 @@ def main():
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)
 
-    B, T = int(os.environ.get("BENCH_BATCH", "8")), cfg.num_frames
-
-    @jax.jit
-    def fwd(params, state, wave, images):
-        out, _ = ave.forward(params, state, wave, images, cfg, train=False)
-        return out["event_scores"]
-
-    rs = np.random.RandomState(0)
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     M = int(os.environ.get("BENCH_ITERS", "8"))
-    waves = [jnp.asarray((rs.randn(B, T, cfg.htsat.frontend.clip_samples) * 0.1)
-                         .astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
-    imgs = [jnp.asarray(rs.rand(B, T, cfg.swin.img_size, cfg.swin.img_size, 3)
-                        .astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
-    jax.block_until_ready([waves, imgs])
 
-    # compile + warmup (fetch to force execution); fall back to the XLA
-    # attention path if the Pallas kernel fails to compile on this runtime
     try:
-        _ = np.asarray(fwd(params, state, waves[0], imgs[0]))
+        clips_per_sec, mfu, hbm = bench_forward(cfg, params, state, B, M)
     except Exception:
         W.set_pallas(False)
-        fwd = jax.jit(lambda p, s, w, i: ave.forward(p, s, w, i, cfg, train=False)[0]["event_scores"])
-        _ = np.asarray(fwd(params, state, waves[0], imgs[0]))
+        clips_per_sec, mfu, hbm = bench_forward(cfg, params, state, B, M)
 
-    t0 = time.perf_counter()
-    outs = [np.asarray(fwd(params, state, waves[i], imgs[i])) for i in range(M)]
-    dt = time.perf_counter() - t0
-    assert all(np.isfinite(o).all() for o in outs)
-
-    clips_per_sec = B * M / dt
-    baseline_per_chip = 500.0 / 8.0
-    print(json.dumps({
+    result = {
         "metric": "ave_clip_pairs_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clip/s",
-        "vs_baseline": round(clips_per_sec / baseline_per_chip, 3),
-    }))
+        "vs_baseline": round(clips_per_sec / (500.0 / 8.0), 3),
+        "mfu_pct": round(mfu, 2),
+        "hbm_util_pct": round(hbm, 2),
+    }
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        try:
+            result["e2e_clips_per_sec"] = round(
+                bench_e2e(cfg, params, state, B, max(M // 2, 2)), 2)
+        except Exception as e:
+            result["e2e_error"] = f"{type(e).__name__}: {e}"[:120]
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            result["train_clips_per_sec"] = round(
+                bench_train(int(os.environ.get("BENCH_TRAIN_BATCH", "4")), 4), 2)
+        except Exception as e:
+            result["train_error"] = f"{type(e).__name__}: {e}"[:120]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

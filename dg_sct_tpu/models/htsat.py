@@ -116,13 +116,20 @@ def frontend(params, state, wave, cfg: HTSATConfig, *, train: bool,
 def block(params, x, *, dim, heads, res, ws, shift, drop_path_rate=0.0,
           train=False, rng=None):
     """Pre-norm V1 Swin block (htsat.py:210-251). x: (N, L, C)."""
+    from ..ops.windows import fused_block_eligible, fused_half_block
+
+    if fused_block_eligible(dim, heads, train):
+        x = fused_half_block(params, x, kind="v1", heads=heads, res=res,
+                             ws=ws, shift=shift)
+        return x + mlp(params["mlp"], layer_norm(params["norm2"], x))
     H, W = res
     shortcut = x
     xn = layer_norm(params["norm1"], x)
     attn_out = shifted_window_attention(
         lambda w, m, nw: window_attention_v1(params["attn"], w, num_heads=heads, ws=ws, mask=m, nW=nw),
         xn, H=H, W=W, ws=ws, shift=shift)
-    if train and rng is not None and drop_path_rate > 0:
+    dp_static_zero = isinstance(drop_path_rate, (int, float)) and drop_path_rate == 0.0
+    if train and rng is not None and not dp_static_zero:
         r1, r2 = jax.random.split(rng)
         x = shortcut + drop_path(r1, attn_out, drop_path_rate, train)
         x = x + drop_path(r2, mlp(params["mlp"], layer_norm(params["norm2"], x)), drop_path_rate, train)

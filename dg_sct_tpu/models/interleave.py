@@ -30,6 +30,57 @@ from . import swinv2 as S
 from ..ops.basic import drop_path, layer_norm, mlp
 
 
+SCAN_REPEATED_STAGES = True  # lax.scan over repeated block groups (compile time)
+SCAN_MIN_PAIRS = 2           # scan only when >= this many stacked iterations
+
+
+def set_scan(enabled: bool, min_pairs: int = 2) -> None:
+    global SCAN_REPEATED_STAGES, SCAN_MIN_PAIRS
+    SCAN_REPEATED_STAGES = enabled
+    SCAN_MIN_PAIRS = min_pairs
+
+
+def _tree_stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _detect_scan_pairs(stage, vplan, aplan):
+    """Split a stage layout into PAIRS of repeated `(k-1 plain + 1 paired)`
+    groups whose static metas (shift/dims/window) are identical across pairs
+    — stage 2's `[None,None,b0]*6` pattern (net_trans.py:885). Pairing (not
+    single groups) is required because window-shift parity alternates group
+    to group. Returns a list of per-pair entry lists, or None."""
+    groups, cur = [], []
+    for e in stage:
+        cur.append(e)
+        if e[2] is not None:
+            groups.append(cur)
+            cur = []
+    if cur or len(groups) < 2 or len(groups) % 2:
+        return None
+    k = len(groups[0])
+    if any(len(g) != k for g in groups):
+        return None
+    pairs = [groups[i] + groups[i + 1] for i in range(0, len(groups), 2)]
+    if len(pairs) < SCAN_MIN_PAIRS:
+        return None
+
+    def meta_eq(m1, m2):
+        return all(m1[kk] == m2[kk] for kk in m1 if kk != "dpr")
+
+    for p in range(2 * k):
+        ref_v = vplan[pairs[0][p][0]]
+        for pair in pairs[1:]:
+            if not meta_eq(vplan[pair[p][0]], ref_v):
+                return None
+        if pairs[0][p][2] is not None:
+            ref_a = aplan[pairs[0][p][1]]
+            for pair in pairs[1:]:
+                if not meta_eq(aplan[pair[p][1]], ref_a):
+                    return None
+    return pairs
+
+
 def init_adapters(key, cfg: AVEModelConfig, dtype=jnp.float32):
     """4 x 12 adapters (audio/vis x p1/p2), mirroring the ModuleLists at
     net_trans.py:807-845. Returns (params, state)."""
@@ -85,7 +136,8 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
     v_maps = a_maps = None
     stage_taps = []
 
-    def paired_step_impl(blk_params, blk_state, f_v, f_a, blk_rng, vmeta, ameta):
+    def paired_step_impl(blk_params, blk_state, f_v, f_a, blk_rng, vmeta, ameta,
+                         v_dpr=None, a_dpr=None):
         """One paired interleave step (net_trans.py:891-908) — rematerialized
         under training so backward recomputes instead of storing the per-block
         activations (HBM is the binding constraint on-chip).
@@ -96,22 +148,32 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
         (htsat.py:237-246, dpr to 0.1). Adapter residuals are NOT drop-pathed,
         exactly as in the reference."""
         vparams, aparams, ad = blk_params
+        v_dpr = vmeta["dpr"] if v_dpr is None else v_dpr
+        a_dpr = ameta["dpr"] if a_dpr is None else a_dpr
         new_st = {}
         a_res, _, new_st["a_p1"] = A.adapter(ad["a_p1"], blk_state["a_p1"],
                                              f_a, f_v, acfg, train=train)
         v_res, _, new_st["v_p1"] = A.adapter(ad["v_p1"], blk_state["v_p1"],
                                              f_v, f_a, acfg, train=train)
-        dp_on = train and blk_rng is not None and vmeta["dpr"] > 0
+        v_dp_zero = isinstance(v_dpr, (int, float)) and v_dpr == 0.0
+        dp_on = train and blk_rng is not None and not v_dp_zero
         r1 = r2 = ra = None
         if train and blk_rng is not None:
             r1, r2, ra = jax.random.split(blk_rng, 3)
-        v_attn = layer_norm(vparams["norm1"], S.attn_part(vparams, f_v, vmeta))
-        if dp_on:
-            v_attn = drop_path(r1, v_attn, vmeta["dpr"], train)
-        f_v = f_v + v_attn + v_res
+        from ..ops.windows import fused_block_eligible, fused_half_block
+        if fused_block_eligible(vmeta["dim"], vmeta["heads"], train):
+            f_v = fused_half_block(vparams, f_v, kind="v2",
+                                   heads=vmeta["heads"], res=vmeta["res"],
+                                   ws=vmeta["ws"], shift=vmeta["shift"],
+                                   pretrained_ws=vmeta["pretrained_ws"]) + v_res
+        else:
+            v_attn = layer_norm(vparams["norm1"], S.attn_part(vparams, f_v, vmeta))
+            if dp_on:
+                v_attn = drop_path(r1, v_attn, v_dpr, train)
+            f_v = f_v + v_attn + v_res
         f_a = H.block(aparams, f_a, dim=ameta["dim"], heads=ameta["heads"],
                       res=ameta["res"], ws=ameta["ws"], shift=ameta["shift"],
-                      drop_path_rate=ameta["dpr"], train=train, rng=ra)
+                      drop_path_rate=a_dpr, train=train, rng=ra)
         f_a = f_a + a_res
         a_res, a_maps, new_st["a_p2"] = A.adapter(ad["a_p2"], blk_state["a_p2"],
                                                   f_a, f_v, acfg, train=train)
@@ -119,7 +181,7 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
                                                   f_v, f_a, acfg, train=train)
         v_mlp = layer_norm(vparams["norm2"], mlp(vparams["mlp"], f_v))
         if dp_on:
-            v_mlp = drop_path(r2, v_mlp, vmeta["dpr"], train)
+            v_mlp = drop_path(r2, v_mlp, v_dpr, train)
         f_v = f_v + v_mlp + v_res
         f_a = f_a + a_res
         return f_v, f_a, a_maps, v_maps, new_st
@@ -145,7 +207,86 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
             return None
         return jax.random.fold_in(tower_rng, blk_counter)
 
+    ADKEYS = ("a_p1", "v_p1", "a_p2", "v_p2")
+
+    def run_stage_scanned(s_idx, pairs, f_v, f_a, base_counter):
+        """lax.scan over stacked pair-of-group params: one trace of the pair
+        body instead of `n_pairs` unrolled copies (stage-2 compile time)."""
+        nonlocal a_maps, v_maps
+        k2 = len(pairs[0])
+        n_pairs = len(pairs)
+        vblocks = params["swin"]["layers"][s_idx]["blocks"]
+        ablocks = params["htsat"]["layers"][s_idx]["blocks"]
+        vplan, aplan = vis_plan[s_idx], aud_plan[s_idx]
+
+        stacked, metas = [], []
+        for p in range(k2):
+            entries = [pair[p] for pair in pairs]
+            slot = {"v": _tree_stack([vblocks[vb] for vb, _, _ in entries]),
+                    "v_dpr": jnp.asarray([vplan[vb]["dpr"] for vb, _, _ in entries],
+                                         jnp.float32)}
+            if entries[0][2] is None:
+                metas.append((vplan[entries[0][0]], None))
+            else:
+                slot["a"] = _tree_stack([ablocks[ab] for _, ab, _ in entries])
+                slot["a_dpr"] = jnp.asarray([aplan[ab]["dpr"] for _, ab, _ in entries],
+                                            jnp.float32)
+                slot["ad"] = {kk: _tree_stack([params["adapters"][kk][ai]
+                                               for _, _, ai in entries])
+                              for kk in ADKEYS}
+                slot["ast"] = {kk: _tree_stack([state["adapters"][kk][ai]
+                                                for _, _, ai in entries])
+                               for kk in ADKEYS}
+                metas.append((vplan[entries[0][0]], aplan[entries[0][1]]))
+            stacked.append(slot)
+
+        def body(carry, xs_t):
+            f_v, f_a = carry
+            j, st = xs_t
+            maps = None
+            new_states = []
+            for p in range(k2):
+                vmeta, ameta = metas[p]
+                m = base_counter + j * k2 + p + 1
+                brng = (None if tower_rng is None
+                        else jax.random.fold_in(tower_rng, m))
+                sp = st[p]
+                if ameta is None:
+                    f_v = S.block(sp["v"], f_v, vmeta, train=train, rng=brng,
+                                  dpr=sp["v_dpr"])
+                else:
+                    blk_params = (sp["v"], sp["a"], sp["ad"])
+                    f_v, f_a, am, vm, new_st = paired_step_impl(
+                        blk_params, sp["ast"], f_v, f_a, brng, vmeta, ameta,
+                        v_dpr=sp["v_dpr"], a_dpr=sp["a_dpr"])
+                    new_states.append(new_st)
+                    maps = (am, vm)
+            return (f_v, f_a), (tuple(new_states), maps)
+
+        body_fn = jax.checkpoint(body) if train else body
+        xs = (jnp.arange(n_pairs), stacked)
+        (f_v, f_a), (st_states, st_maps) = jax.lax.scan(body_fn, (f_v, f_a), xs)
+
+        # unstack the scanned BN states back into the flat adapter lists
+        paired_positions = [p for p in range(k2) if metas[p][1] is not None]
+        for pos_i, p in enumerate(paired_positions):
+            for j in range(n_pairs):
+                ai = pairs[j][p][2]
+                for kk in ADKEYS:
+                    new_adapter_state[kk][ai] = jax.tree_util.tree_map(
+                        lambda x, j=j: x[j], st_states[pos_i][kk])
+        a_maps = jax.tree_util.tree_map(lambda x: x[-1], st_maps[0])
+        v_maps = jax.tree_util.tree_map(lambda x: x[-1], st_maps[1])
+        return f_v, f_a
+
     for s_idx, stage in enumerate(layout):
+        pairs = (_detect_scan_pairs(stage, vis_plan[s_idx], aud_plan[s_idx])
+                 if SCAN_REPEATED_STAGES else None)
+        if pairs is not None:
+            base = blk_counter
+            blk_counter += len(pairs) * len(pairs[0])
+            f_v, f_a = run_stage_scanned(s_idx, pairs, f_v, f_a, base)
+            stage = []
         for (vb, ab, ai) in stage:
             vparams = params["swin"]["layers"][s_idx]["blocks"][vb]
             vmeta = vis_plan[s_idx][vb]
@@ -155,10 +296,8 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
             aparams = params["htsat"]["layers"][s_idx]["blocks"][ab]
             ameta = aud_plan[s_idx][ab]
             blk_params = (vparams, aparams,
-                          {k: params["adapters"][k][ai] for k in
-                           ("a_p1", "v_p1", "a_p2", "v_p2")})
-            blk_state = {k: state["adapters"][k][ai] for k in
-                         ("a_p1", "v_p1", "a_p2", "v_p2")}
+                          {k: params["adapters"][k][ai] for k in ADKEYS})
+            blk_state = {k: state["adapters"][k][ai] for k in ADKEYS}
             f_v, f_a, a_maps, v_maps, new_st = make_paired(vmeta, ameta)(
                 blk_params, blk_state, f_v, f_a, next_rng())
             for k in new_st:

@@ -87,15 +87,27 @@ def attn_part(params, x, meta, *, train=False, rng=None):
         x, H=H, W=W, ws=meta["ws"], shift=meta["shift"])
 
 
-def block(params, x, meta, *, train=False, rng=None):
-    """Full post-norm V2 block: x += dp(norm1(attn(x))); x += dp(norm2(mlp(x)))."""
+def block(params, x, meta, *, train=False, rng=None, dpr=None):
+    """Full post-norm V2 block: x += dp(norm1(attn(x))); x += dp(norm2(mlp(x))).
+
+    `dpr` overrides meta["dpr"]; it may be a traced scalar (lax.scan over
+    blocks with per-iteration drop-path rates)."""
+    from ..ops.windows import fused_block_eligible, fused_half_block
+
+    rate = meta["dpr"] if dpr is None else dpr
+    if fused_block_eligible(meta["dim"], meta["heads"], train):
+        x = fused_half_block(params, x, kind="v2", heads=meta["heads"],
+                             res=meta["res"], ws=meta["ws"],
+                             shift=meta["shift"],
+                             pretrained_ws=meta["pretrained_ws"])
+        return x + layer_norm(params["norm2"], mlp(params["mlp"], x))
     a = layer_norm(params["norm1"], attn_part(params, x, meta))
-    m_rng = None
-    if train and rng is not None and meta["dpr"] > 0:
+    static_zero = isinstance(rate, (int, float)) and rate == 0.0
+    if train and rng is not None and not static_zero:
         r1, r2 = jax.random.split(rng)
-        x = x + drop_path(r1, a, meta["dpr"], train)
+        x = x + drop_path(r1, a, rate, train)
         b = layer_norm(params["norm2"], mlp(params["mlp"], x))
-        x = x + drop_path(r2, b, meta["dpr"], train)
+        x = x + drop_path(r2, b, rate, train)
     else:
         x = x + a
         x = x + layer_norm(params["norm2"], mlp(params["mlp"], x))

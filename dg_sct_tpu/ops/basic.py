@@ -214,8 +214,13 @@ def dropout(rng, x, rate, train):
 
 
 def drop_path(rng, x, rate, train):
-    """Stochastic depth on the leading (batch) axis."""
-    if not train or rate == 0.0:
+    """Stochastic depth on the leading (batch) axis. `rate` may be a traced
+    scalar (inside lax.scan over blocks with varying dprs): bernoulli(keep=1)
+    is always True and x/1.0 is exact, so a traced rate of 0 is the identity
+    bit-for-bit, matching the static fast path."""
+    if not train:
+        return x
+    if isinstance(rate, (int, float)) and rate == 0.0:
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)

@@ -229,3 +229,74 @@ def shifted_window_attention(attn_fn, x, *, H, W, ws, shift):
     if shift > 0:
         xs = jnp.roll(xs, (shift, shift), axis=(1, 2))
     return xs.reshape(B, L, C)
+
+
+# ---------------------------------------------------------------------------
+# fully-fused attention half-block (Pallas): qkv -> windows -> softmax -> proj
+# -> norm -> residual in one VMEM pass. See ops/pallas/block_attention.py.
+# ---------------------------------------------------------------------------
+
+USE_FUSED_BLOCK = False
+
+
+def set_fused_block(enabled: bool) -> None:
+    """Route eligible attention half-blocks through the fully-fused Pallas
+    kernel (TPU only; eval path)."""
+    global USE_FUSED_BLOCK
+    USE_FUSED_BLOCK = enabled
+
+
+def fused_block_eligible(C: int, heads: int, train: bool) -> bool:
+    """Kernel applies on the eval path for stages whose qkv weights fit the
+    VMEM block budget (C <= 768 keeps weights+strip+bias well under 16 MB);
+    the tiny final stages (C=1536 visual) stay on the XLA path."""
+    return USE_FUSED_BLOCK and not train and C <= 768 and C % heads == 0
+
+
+def fused_half_block(params, x, *, kind, heads, res, ws, shift,
+                     pretrained_ws=0, interpret=False):
+    """x: (B, L, C) -> x + attention-half-block residual.
+
+    kind="v1": x + proj(attn_v1(LN1(x)))   (HTS-AT pre-norm half)
+    kind="v2": x + LN1(proj(attn_v2(x)))   (Swin-V2 post-norm half)
+    """
+    from .pallas.block_attention import fused_attn_half_block
+
+    H, W = res
+    B, L, C = x.shape
+    N = ws * ws
+    ap = params["attn"]
+
+    if kind == "v2":
+        table = log_cpb_coords_table_jnp(ws, ws, pretrained_ws).astype(jnp.float32)
+        cpb = linear(ap["cpb_fc2"], jax.nn.relu(linear(ap["cpb_fc1"], table)))
+        idx = relative_position_index_jnp(ws, ws)
+        bias = 16.0 * jax.nn.sigmoid(cpb[idx].reshape(N, N, heads).transpose(2, 0, 1))
+        wqkv = ap["qkv"]["kernel"]
+        bqkv = jnp.concatenate([ap["q_bias"], jnp.zeros_like(ap["v_bias"]),
+                                ap["v_bias"]])
+        logit_scale = ap["logit_scale"].reshape(heads)
+    else:
+        idx = relative_position_index_jnp(ws, ws)
+        bias = ap["rpb_table"][idx].reshape(N, N, heads).transpose(2, 0, 1)
+        wqkv = ap["qkv"]["kernel"]
+        bqkv = ap["qkv"]["bias"]
+        logit_scale = None
+
+    ln = params["norm1"]
+    xs = x.reshape(B, H, W, C)
+    mask = None
+    if shift > 0:
+        xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+        mask = shift_attn_mask_jnp(H, W, ws, shift)
+    out = fused_attn_half_block(
+        xs, wqkv.astype(x.dtype), bqkv.astype(x.dtype),
+        ap["proj"]["kernel"].astype(x.dtype), ap["proj"]["bias"].astype(x.dtype),
+        bias.astype(x.dtype), ln["scale"].astype(x.dtype),
+        ln["bias"].astype(x.dtype),
+        mask=None if mask is None else mask.astype(x.dtype),
+        logit_scale=None if logit_scale is None else logit_scale.astype(x.dtype),
+        kind=kind, heads=heads, ws=ws, interpret=interpret)
+    if shift > 0:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    return out.reshape(B, L, C)

@@ -1,0 +1,57 @@
+"""Microbench: fused half-block kernel vs XLA composition, per stage shape."""
+import sys; sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np, time, json, functools
+jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from dg_sct_tpu.ops import windows as W
+from dg_sct_tpu.ops.basic import layer_norm, layer_norm_init
+
+def bench(kind, B, H, Wd, C, heads, ws, shift, reps=12):
+    key = jax.random.PRNGKey(0)
+    if kind == "v1":
+        ap = W.attention_v1_init(key, C, ws, heads)
+    else:
+        ap = W.attention_v2_init(key, C, heads)
+    params = {"attn": ap, "norm1": layer_norm_init(C)}
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    rs = np.random.RandomState(0)
+    xs = [jnp.asarray(rs.randn(B, H*Wd, C).astype(np.float32)).astype(jnp.bfloat16)
+          for _ in range(reps)]
+
+    @jax.jit
+    def fused(x):
+        return W.fused_half_block(params, x, kind=kind, heads=heads,
+                                  res=(H, Wd), ws=ws, shift=shift)
+    @jax.jit
+    def xla(x):
+        if kind == "v2":
+            attn = W.shifted_window_attention(
+                lambda w_, m, nw: W.window_attention_v2(params["attn"], w_,
+                    num_heads=heads, ws=ws, mask=m, nW=nw), x, H=H, W=Wd, ws=ws, shift=shift)
+            return x + layer_norm(params["norm1"], attn)
+        xn = layer_norm(params["norm1"], x)
+        attn = W.shifted_window_attention(
+            lambda w_, m, nw: W.window_attention_v1(params["attn"], w_,
+                num_heads=heads, ws=ws, mask=m, nW=nw), xn, H=H, W=Wd, ws=ws, shift=shift)
+        return x + attn
+
+    out = {}
+    for name, f in [("fused", fused), ("xla", xla)]:
+        _ = np.asarray(f(xs[0]))
+        t0 = time.perf_counter()
+        rs_ = [np.asarray(f(x)) for x in xs]
+        out[name] = (time.perf_counter() - t0) / reps
+    gb = 2 * xs[0].size * 2 / 1e9
+    print(json.dumps({"kind": kind, "C": C, "H": H, "ws": ws, "shift": shift,
+                      "fused_ms": round(out["fused"]*1e3, 3),
+                      "xla_ms": round(out["xla"]*1e3, 3),
+                      "minimal_GB": round(gb, 4),
+                      "fused_eff_GBps": round(gb / out["fused"], 1)}), flush=True)
+
+# visual stage 0/1/2 and audio stage 0/1 shapes at batch 80
+bench("v2", 80, 48, 48, 192, 6, 12, 0)
+bench("v2", 80, 48, 48, 192, 6, 12, 6)
+bench("v2", 80, 24, 24, 384, 12, 12, 0)
+bench("v2", 80, 12, 12, 768, 24, 12, 0)
+bench("v1", 80, 64, 64, 96, 4, 8, 0)
+bench("v1", 80, 32, 32, 192, 8, 8, 4)
