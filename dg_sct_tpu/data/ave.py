@@ -35,6 +35,7 @@ def parse_annotations(ann_path: str, categories: Sequence[str]):
     """Annotations.txt rows `Category&VideoID&Quality&Start&End` ->
     list of (video_id, onehot (10, 29))."""
     cat_idx = {c: i for i, c in enumerate(categories)}
+    n_cls = len(categories)  # 28 for AVE; background = last column
     out = []
     with open(ann_path) as f:
         next(f)  # header
@@ -43,12 +44,12 @@ def parse_annotations(ann_path: str, categories: Sequence[str]):
             if len(parts) < 5:
                 continue
             cat, vid, _, start, end = parts[:5]
-            onehot = np.zeros((NUM_SEGMENTS, NUM_CLASSES + 1), np.float32)
-            onehot[:, NUM_CLASSES] = 1.0
+            onehot = np.zeros((NUM_SEGMENTS, n_cls + 1), np.float32)
+            onehot[:, n_cls] = 1.0
             s, e = int(float(start)), int(float(end))
             c = cat_idx[cat]
             for t in range(max(s, 0), min(e, NUM_SEGMENTS)):
-                onehot[t, NUM_CLASSES] = 0.0
+                onehot[t, n_cls] = 0.0
                 onehot[t, c] = 1.0
             out.append((vid, onehot))
     return out

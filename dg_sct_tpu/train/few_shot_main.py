@@ -27,7 +27,8 @@ from .pretrain_train import (few_shot_subsample, partition_pretrain_params,
 
 
 def few_shot_loss(out, labels, *, epoch, num_frames=10, stage_epochs=4):
-    """Staged weighting (main_AVE.py:124-133): w_event 500 -> 5."""
+    """Staged weighting (main_AVE.py:124-133): w_event 500 -> 5. Weak mode:
+    clip-level label, event scores meaned over segments (main_AVE.py:112-115)."""
     ev = out["event_scores"]
     B = labels.shape[0]
     ev = jnp.mean(ev.reshape(B, num_frames, -1), axis=1)
@@ -39,8 +40,24 @@ def few_shot_loss(out, labels, *, epoch, num_frames=10, stage_epochs=4):
     return w * loss_event + loss_ai + loss_ia
 
 
-def make_few_shot_step(cfg, buffers, tx):
+def few_shot_event_loss(out, labels, *, epoch, num_frames=10, stage_epochs=4):
+    """Event-localization mode (main_AVE.py:117 non-weak): per-segment soft CE
+    against (B, T, n_cls+1) grids; prompt set carries the appended
+    'background' class (PromptConfig.weak=False)."""
+    labels_bt = labels.reshape(-1, labels.shape[-1])
+    loss_event = soft_cross_entropy(out["event_scores"], labels_bt)
+    B = labels.shape[0]
+    eye = jnp.eye(B)
+    loss_ai = soft_cross_entropy(out["logits_audio_image"], eye)
+    loss_ia = soft_cross_entropy(out["logits_image_audio"], eye)
+    w = 500.0 if epoch <= stage_epochs else 5.0
+    return w * loss_event + loss_ai + loss_ia
+
+
+def make_few_shot_step(cfg, buffers, tx, loss=few_shot_loss):
     import functools
+
+    loss_impl = loss
 
     @functools.partial(jax.jit, static_argnames=("epoch",))
     def step(trainable, frozen, state, opt_state, batch, rng, epoch=1):
@@ -49,8 +66,8 @@ def make_few_shot_step(cfg, buffers, tx):
             params.update(tr)
             out, new_state = PT.forward(params, st, buffers, batch["wave"],
                                         batch["image"], cfg, train=True, rng=rng)
-            return few_shot_loss(out, batch["label"], epoch=epoch,
-                                 num_frames=cfg.num_frames), new_state
+            return loss_impl(out, batch["label"], epoch=epoch,
+                             num_frames=cfg.num_frames), new_state
 
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable, state)
         updates, opt_state = tx.update(grads, opt_state, trainable)
@@ -63,6 +80,10 @@ def make_few_shot_step(cfg, buffers, tx):
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["train", "smoke"], default="smoke")
+    p.add_argument("--task", choices=["cls", "events"], default="cls",
+                   help="cls: clip classification (main_AVE_class.py / "
+                        "main_LLP_class.py); events: AVE per-segment event "
+                        "localization (main_AVE.py non-weak)")
     p.add_argument("--k-shot", type=int, default=16)
     p.add_argument("--dataset", choices=["AVE", "LLP"], default="AVE")
     p.add_argument("--meta", default="/root/reference/data/AVE")
@@ -123,10 +144,17 @@ def build_datasets(args, cfg):
 
 def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
     args = parse_args(argv)
+    if args.task == "events":
+        assert args.dataset == "AVE", "event localization is the AVE task"
     if cfg is None:
+        import dataclasses as _dc
+
+        from ..configs import PromptConfig
         from .zero_shot_main import classnames_for
         names = classnames or classnames_for(args.dataset)
         cfg = PretrainModelConfig(num_classes=len(names))
+        if args.task == "events":
+            cfg = _dc.replace(cfg, prompt=PromptConfig(weak=False))
     else:
         names = classnames
     assert names is not None and len(names) == cfg.num_classes
@@ -134,14 +162,21 @@ def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
                                                     cfg, names)
     if args.ckpt:
         lp, ls = ckpt_lib.load_params_and_state(args.ckpt)
-        params = ckpt_lib.restore_structure(params, lp)
+        # partial restore: class-count-dependent entries (clap text features,
+        # prompt-learner heads) are skipped when the eval class list differs
+        # from the pretrain one (zero_shot.py:92-93 semantics)
+        params, skipped = ckpt_lib.restore_matching(params, lp)
+        if skipped:
+            print(f"ckpt: skipped {len(skipped)} shape-mismatched entries")
         if ls is not None:
-            state = ckpt_lib.restore_structure(state, ls)
+            state, _ = ckpt_lib.restore_matching(state, ls)
     tr, fr = partition_pretrain_params(params)
     tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
                      optax.adam(args.lr))
     opt_state = tx.init(tr)
-    step = make_few_shot_step(cfg, buffers, tx)
+    step = make_few_shot_step(
+        cfg, buffers, tx,
+        loss=few_shot_event_loss if args.task == "events" else few_shot_loss)
 
     if args.mode == "smoke":
         B, T = 2, 2
@@ -170,9 +205,12 @@ def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
 
     from ..data import ave as ave_data
     from ..utils.metrics_log import MetricsLogger
-    from .pretrain_train import make_pretrain_eval_step, weak_accuracy
+    from .pretrain_train import (make_pretrain_eval_step, segment_accuracy,
+                                 weak_accuracy)
 
     train_ds, test_ds, label_fn = build_datasets(args, cfg)
+    if args.task == "events":
+        label_fn = lambda b: b["gt"]  # full (B, T, n+1) segment grids
     print(f"{len(train_ds)} K-shot train clips ({args.k_shot}/class), "
           f"{len(test_ds)} test clips")
     estep = make_pretrain_eval_step(cfg, buffers)
@@ -200,17 +238,20 @@ def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
             scores = estep(tr, fr, state, {"wave": jnp.asarray(batch["wave"]),
                                            "image": jnp.asarray(batch["image"])})
             b = len(batch["wave"])
-            accs.append(weak_accuracy(scores, label_fn(batch),
-                                      num_frames=cfg.num_frames) * b)
+            if args.task == "events":
+                accs.append(segment_accuracy(scores, batch["gt"]) * b)
+            else:
+                accs.append(weak_accuracy(scores, label_fn(batch),
+                                          num_frames=cfg.num_frames) * b)
             n += b
         acc = sum(accs) / max(n, 1)
-        print(f"epoch {epoch}: test cls accuracy {acc:.2f} %")
+        print(f"epoch {epoch}: test {args.task} accuracy {acc:.2f} %")
         logger.log({"cls_acc": acc}, step=gstep, prefix="test/")
         if acc >= best:
             best = acc
             os.makedirs(args.save_dir, exist_ok=True)
             ckpt_lib.save_train_state(
-                os.path.join(args.save_dir, f"few_shot_{args.dataset}_best.npz"),
+                os.path.join(args.save_dir, f"few_shot_{args.dataset}_{args.task}_best.npz"),
                 params=dict(fr, **tr), state=state, opt_state=opt_state,
                 rng_key=rng, step=gstep, metadata={"epoch": epoch, "acc": acc})
     logger.close()

@@ -77,9 +77,14 @@ def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
                                                     names)
     if args.ckpt:
         lp, ls = ckpt_lib.load_params_and_state(args.ckpt)
-        params = ckpt_lib.restore_structure(params, lp)
+        # partial restore: class-count-dependent entries (clap text features,
+        # prompt-learner heads) are skipped when the eval class list differs
+        # from the pretrain one (zero_shot.py:92-93 semantics)
+        params, skipped = ckpt_lib.restore_matching(params, lp)
+        if skipped:
+            print(f"ckpt: skipped {len(skipped)} shape-mismatched entries")
         if ls is not None:
-            state = ckpt_lib.restore_structure(state, ls)
+            state, _ = ckpt_lib.restore_matching(state, ls)
 
     if args.mode == "smoke":
         B, T = 1, 2

@@ -105,3 +105,22 @@ def restore_structure(template, loaded):
     leaves = jax.tree_util.tree_leaves(loaded)
     treedef = jax.tree_util.tree_structure(template)
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def restore_matching(template, loaded):
+    """Path-aware partial restore: copy a loaded leaf only when the same path
+    exists in the template with the same shape; keep the template's value
+    otherwise. The analogue of the reference's skip-mismatched-keys loads
+    (`zero-shot/zero_shot.py:92-93` drops prompt prefix/suffix buffers when
+    the eval class list differs from the pretrain one; few-shot likewise).
+    Returns (merged_tree, skipped_paths)."""
+    flat_l = _flatten(jax.device_get(loaded))
+    flat_t = _flatten(jax.device_get(template))
+    skipped = []
+    out = dict(flat_t)
+    for k, v in flat_l.items():
+        if k in flat_t and np.shape(flat_t[k]) == np.shape(v):
+            out[k] = v
+        else:
+            skipped.append(k)
+    return _unflatten(out), skipped

@@ -147,4 +147,14 @@ def test_pretrain_few_zero_shot_loops(tmp_path):
              "--save-dir", os.path.join(ave_root, "ckpt")]
     best = few_shot_main.main(fargv, cfg=cfg, classnames=cats)
     assert 0.0 <= best <= 100.0
-    assert os.path.exists(os.path.join(ave_root, "ckpt", "few_shot_AVE_best.npz"))
+    assert os.path.exists(os.path.join(ave_root, "ckpt",
+                                       "few_shot_AVE_cls_best.npz"))
+
+    # event-localization mode (main_AVE.py non-weak): background prompt class
+    import dataclasses
+
+    from dg_sct_tpu.configs import PromptConfig
+    ev_cfg = dataclasses.replace(cfg, prompt=PromptConfig(weak=False))
+    best_ev = few_shot_main.main(fargv + ["--task", "events"], cfg=ev_cfg,
+                                 classnames=cats)
+    assert 0.0 <= best_ev <= 100.0
