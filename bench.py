@@ -156,12 +156,17 @@ def bench_e2e(cfg, params, state, B, M):
                        jnp.asarray(b0["image"])))
 
     n = 0
+    pending = None
     t0 = time.perf_counter()
     for batch in ave_data.batched_iterator(ds, B, shuffle=False, num_workers=8,
                                            prefetch=4):
-        out = np.asarray(fwd(params, state, jnp.asarray(batch["wave"]),
-                             jnp.asarray(batch["image"])))
+        out = fwd(params, state, jnp.asarray(batch["wave"]),
+                  jnp.asarray(batch["image"]))
+        if pending is not None:  # overlap fetch with the next step's decode
+            assert np.isfinite(np.asarray(pending)).all()
+        pending = out
         n += batch["wave"].shape[0]
+    assert np.isfinite(np.asarray(pending)).all()
     dt = time.perf_counter() - t0
     return n / dt
 

@@ -1,4 +1,3 @@
-"""Component-level timing + cost analysis of the AVE forward on TPU."""
 import sys; sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np, time, json
 jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache")
@@ -13,50 +12,51 @@ with jax.default_device(jax.devices("cpu")[0]):
     params, state = cast(params), cast(state)
 tpu = jax.devices()[0]
 params = jax.device_put(params, tpu); state = jax.device_put(state, tpu)
-N = 80
+N = 40  # B=4 x T=10 frames
 rs = np.random.RandomState(0)
-
-def timeit(f, args_list):
-    _ = np.asarray(jax.tree_util.tree_leaves(f(*args_list[0]))[0])
-    t0=time.perf_counter()
-    outs=[f(*a) for a in args_list]
-    _=[np.asarray(jax.tree_util.tree_leaves(o)[0]) for o in outs]
-    return (time.perf_counter()-t0)/len(args_list)
-
-M=6
+M = 16
 imgs=[jnp.asarray(rs.rand(N,192,192,3).astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
 waves=[jnp.asarray((rs.randn(N,32000)*0.1).astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
 
-def report(name, f, a, args_list):
+def run(name, f, a_list):
     jf = jax.jit(f)
-    t = timeit(jf, args_list)
-    ca = jf.lower(*a).compile().cost_analysis()
-    if isinstance(ca, list): ca = ca[0]
-    print(json.dumps({"name": name, "s_per_call": round(t,4),
-                      "flops_G": round(ca.get("flops",0)/1e9,1),
-                      "bytes_GB": round(ca.get("bytes accessed",0)/1e9,2),
-                      "hbm_GBps": round(ca.get("bytes accessed",0)/t/1e9,1)}), flush=True)
+    _ = np.asarray(jf(*a_list[0]))
+    t0=time.perf_counter()
+    outs=[jf(*a) for a in a_list]
+    outs=[np.asarray(o) for o in outs]
+    dt=(time.perf_counter()-t0)/M
+    print(json.dumps({"name": name, "step_ms": round(dt*1e3,1)}), flush=True)
 
-report("swin80", lambda x: S.forward_features(params["swin"], x, cfg.swin),
-       (imgs[0],), [(i,) for i in imgs])
+def swin_only(p_, im):
+    return S.forward_features(p_["swin"], im, cfg.swin).sum()
+run("swin40", swin_only, [(params, i) for i in imgs])
 
-def htsat_fwd(w):
-    toks, _ = H.frontend(params["htsat"], state["htsat"], w, cfg.htsat, train=False)
-    plan = H.block_plan(cfg.htsat)
+def htsat_only(p_, s_, w):
+    toks, _ = H.frontend(p_["htsat"], s_["htsat"], w, cfg.htsat, train=False)
     x = toks
-    for s_idx, stage in enumerate(plan):
+    for s_idx, stage in enumerate(H.block_plan(cfg.htsat)):
         for d, meta in enumerate(stage):
-            x = H.block(params["htsat"]["layers"][s_idx]["blocks"][d], x,
+            x = H.block(p_["htsat"]["layers"][s_idx]["blocks"][d], x,
                         dim=meta["dim"], heads=meta["heads"], res=meta["res"],
                         ws=meta["ws"], shift=meta["shift"])
-        if "downsample" in params["htsat"]["layers"][s_idx]:
-            x = H.patch_merging(params["htsat"]["layers"][s_idx]["downsample"], x,
+        if "downsample" in p_["htsat"]["layers"][s_idx]:
+            x = H.patch_merging(p_["htsat"]["layers"][s_idx]["downsample"], x,
                                 cfg.htsat.stage_resolution(s_idx))
-    return x
-report("htsat80", htsat_fwd, (waves[0],), [(w,) for w in waves])
+    return x.sum()
+run("htsat40", htsat_only, [(params, state, w) for w in waves])
 
-def inter(w, im):
-    feats, _ = I.forward(params, state, w, im, cfg, train=False)
-    return feats["f_v"]
-report("interleave80", inter, (waves[0], imgs[0]),
-       [(w,i) for w,i in zip(waves,imgs)])
+def frontend_only(p_, s_, w):
+    toks, _ = H.frontend(p_["htsat"], s_["htsat"], w, cfg.htsat, train=False)
+    return toks.sum()
+run("htsat_frontend40", frontend_only, [(params, state, w) for w in waves])
+
+def htsat_stage0(p_, s_, w):
+    toks, _ = H.frontend(p_["htsat"], s_["htsat"], w, cfg.htsat, train=False)
+    x = toks
+    stage = H.block_plan(cfg.htsat)[0]
+    for d, meta in enumerate(stage):
+        x = H.block(p_["htsat"]["layers"][0]["blocks"][d], x,
+                    dim=meta["dim"], heads=meta["heads"], res=meta["res"],
+                    ws=meta["ws"], shift=meta["shift"])
+    return x.sum()
+run("htsat_frontend+stage0", htsat_stage0, [(params, state, w) for w in waves])

@@ -19,22 +19,24 @@ waves=[jnp.asarray((rs.randn(B,T,32000)*0.1).astype(np.float32)).astype(jnp.bflo
 imgs=[jnp.asarray(rs.rand(B,T,192,192,3).astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
 
 def run(name, f):
+    # params/state as ARGUMENTS, never closure constants: captured weights get
+    # serialized into the HLO blob and blow the tunnel's remote-compile limit
     jf = jax.jit(f)
-    _ = np.asarray(jf(waves[0], imgs[0]))
+    _ = np.asarray(jf(params, state, waves[0], imgs[0]))
     t0=time.perf_counter()
-    outs=[jf(w,i) for w,i in zip(waves,imgs)]
+    outs=[jf(params, state, w, i) for w, i in zip(waves, imgs)]
     outs=[np.asarray(o) for o in outs]
     dt=(time.perf_counter()-t0)/M
     print(json.dumps({"name": name, "step_ms": round(dt*1e3,1),
                       "clips_per_s": round(B/dt,1)}), flush=True)
 
-def full(w, im):
-    out, _ = ave.forward(params, state, w, im, cfg, train=False)
+def full(p_, s_, w, im):
+    out, _ = ave.forward(p_, s_, w, im, cfg, train=False)
     return out["event_scores"]
 run("full", full)
 
-def towers_only(w, im):
+def towers_only(p_, s_, w, im):
     wf = w.reshape(B*T, -1); imf = im.reshape((B*T,)+im.shape[2:])
-    feats, _ = I.forward(params, state, wf, imf, cfg, train=False)
+    feats, _ = I.forward(p_, s_, wf, imf, cfg, train=False)
     return feats["f_v"].sum() + feats["f_a"].sum()
 run("towers_only", towers_only)
