@@ -49,32 +49,60 @@ def _timed(fn, inputs):
 
 
 def bench_forward(cfg, params, state, B, M):
+    """Steady-state streaming throughput: all M steps run inside ONE jitted
+    lax.scan over stacked (M, B, ...) inputs, so the tunnel's ~25 ms per-call
+    dispatch RPC (measured with a pad-only probe; absent on directly-attached
+    hardware) is paid once, not per step. Every step consumes a distinct
+    input and all M outputs are fetched — nothing is skippable or cacheable."""
     import jax
     import jax.numpy as jnp
     from dg_sct_tpu.models import ave
 
     @jax.jit
-    def fwd(params, state, wave, images):
-        out, _ = ave.forward(params, state, wave, images, cfg, train=False)
-        return out["event_scores"]
+    def fwd_stream(params, state, waves, imgs):
+        def body(carry, wi):
+            w, im = wi
+            out, _ = ave.forward(params, state, w, im, cfg, train=False)
+            return carry, out["event_scores"]
+
+        _, outs = jax.lax.scan(body, 0, (waves, imgs))
+        return outs
 
     rs = np.random.RandomState(0)
     T = cfg.num_frames
-    waves = [jnp.asarray((rs.randn(B, T, cfg.htsat.frontend.clip_samples) * 0.1)
-                         .astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
-    imgs = [jnp.asarray(rs.rand(B, T, cfg.swin.img_size, cfg.swin.img_size, 3)
-                        .astype(np.float32)).astype(jnp.bfloat16) for _ in range(M)]
-    jax.block_until_ready([waves, imgs])
-    _ = np.asarray(fwd(params, state, waves[0], imgs[0]))  # compile+warm
+    reps = 2  # DISTINCT input stacks per rep: the tunnel caches identical runs
+    stacks = []
+    for _ in range(reps + 1):  # +1 warmup stack
+        waves = jnp.asarray((rs.randn(M, B, T, cfg.htsat.frontend.clip_samples) * 0.1)
+                            .astype(np.float32)).astype(jnp.bfloat16)
+        imgs = jnp.asarray(rs.rand(M, B, T, cfg.swin.img_size, cfg.swin.img_size, 3)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        stacks.append((waves, imgs))
+    jax.block_until_ready(stacks)
+    _ = np.asarray(fwd_stream(params, state, *stacks[-1]))  # compile+warm
 
-    dt = _timed(fwd, [(params, state, waves[i], imgs[i]) for i in range(M)])
+    t0 = time.perf_counter()
+    outs = [fwd_stream(params, state, w, i) for (w, i) in stacks[:reps]]
+    outs = [np.asarray(o) for o in outs]
+    dt = (time.perf_counter() - t0) / reps
+    assert all(np.isfinite(o).all() for o in outs)
     clips_per_sec = B * M / dt
+    waves, imgs = stacks[0]
 
-    step_s = dt / M
+    # MFU/HBM from a SINGLE-step lower (the scan program's cost analysis
+    # counts the body once, not M times — per-step math breaks)
     try:
-        ca = fwd.lower(params, state, waves[0], imgs[0]).compile().cost_analysis()
+        import jax
+
+        def fwd_one(params, state, wave, images):
+            out, _ = ave.forward(params, state, wave, images, cfg, train=False)
+            return out["event_scores"]
+
+        ca = jax.jit(fwd_one).lower(params, state, waves[0], imgs[0]) \
+            .compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
+        step_s = dt / M
         mfu = 100.0 * ca.get("flops", 0) / step_s / V5E_PEAK_FLOPS
         hbm = 100.0 * ca.get("bytes accessed", 0) / step_s / V5E_PEAK_HBM
     except Exception:  # some remote-compile runtimes reject the AOT re-lower
@@ -83,13 +111,16 @@ def bench_forward(cfg, params, state, B, M):
 
 
 def bench_train(B, M):
-    """Training-step throughput at full size (f32 params, bf16 compute)."""
+    """Training-step throughput at full size (f32 params, bf16 compute):
+    M full steps (fwd + bwd + Adam) chained in one jitted lax.scan with the
+    train state carried — same streaming methodology as the forward bench."""
     import jax
     import jax.numpy as jnp
     from dg_sct_tpu.configs import AVEModelConfig, TrainConfig
     from dg_sct_tpu.data import ave as ave_data
     from dg_sct_tpu.models import ave
-    from dg_sct_tpu.train import ave_train
+    from dg_sct_tpu.train import ave_train, losses
+    import optax
 
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):
@@ -99,24 +130,48 @@ def bench_train(B, M):
     tr, fr, state = (jax.device_put(t, tpu) for t in (tr, fr, state))
     tx = ave_train.make_optimizer(tr, TrainConfig(accum_steps=1), steps_per_epoch=100)
     opt_state = jax.device_put(tx.init(tr), tpu)
-    step = ave_train.make_train_step(cfg, tx, donate=False)
 
-    batches = []
+    stacked = {}
     for i in range(M):
         b = ave_data.synthetic_batch(B, seed=i)
         b["mixup_lambda"] = np.random.RandomState(i).beta(
             0.5, 0.5, size=(B * cfg.num_frames,)).astype(np.float32)
-        batches.append({k: jax.device_put(jnp.asarray(v), tpu) for k, v in b.items()})
-    rng = jax.random.PRNGKey(1)
+        for k, v in b.items():
+            stacked.setdefault(k, []).append(v)
+    stacked = {k: jax.device_put(jnp.asarray(np.stack(v)), tpu)
+               for k, v in stacked.items()}
+    rngs = jax.random.split(jax.random.PRNGKey(1), M)
 
-    tr, state, opt_state, m = step(tr, fr, state, opt_state, batches[0], rng)
-    _ = float(m["loss"])  # force
+    @jax.jit
+    def train_stream(tr, fr, state, opt_state, batches, rngs):
+        def body(carry, x):
+            tr, state, opt_state = carry
+            batch, rng = x
+
+            def loss_fn(t, st):
+                p = ave_train.merge_params(t, fr)
+                out, new_state = ave.forward(p, st, batch["wave"], batch["image"],
+                                             cfg, train=True, rng=rng,
+                                             mixup_lambda=batch["mixup_lambda"])
+                return losses.ave_loss(out, batch["gt"]), new_state
+
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(tr, state)
+            updates, opt_state = tx.update(grads, opt_state, tr)
+            tr = optax.apply_updates(tr, updates)
+            return (tr, new_state, opt_state), loss
+
+        (tr, state, opt_state), ls = jax.lax.scan(
+            body, (tr, state, opt_state), (batches, rngs))
+        return ls
+
+    ls = np.asarray(train_stream(tr, fr, state, opt_state, stacked, rngs))
+    assert np.isfinite(ls).all()
     t0 = time.perf_counter()
-    for i in range(M):
-        tr, state, opt_state, m = step(tr, fr, state, opt_state, batches[i],
-                                       jax.random.fold_in(rng, i))
-        _ = float(m["loss"])
+    ls = np.asarray(train_stream(tr, fr, state, opt_state, stacked,
+                                 jax.random.split(jax.random.PRNGKey(2), M)))
     dt = time.perf_counter() - t0
+    assert np.isfinite(ls).all()
     return B * M / dt
 
 
