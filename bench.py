@@ -70,7 +70,7 @@ def bench_forward(cfg, params, state, B, M):
 
     rs = np.random.RandomState(0)
     T = cfg.num_frames
-    reps = 2  # DISTINCT input stacks per rep: the tunnel caches identical runs
+    reps = 3  # DISTINCT input stacks per rep: the tunnel caches identical runs
     stacks = []
     for _ in range(reps + 1):  # +1 warmup stack
         waves = jnp.asarray((rs.randn(M, B, T, cfg.htsat.frontend.clip_samples) * 0.1)
@@ -81,11 +81,14 @@ def bench_forward(cfg, params, state, B, M):
     jax.block_until_ready(stacks)
     _ = np.asarray(fwd_stream(params, state, *stacks[-1]))  # compile+warm
 
-    t0 = time.perf_counter()
-    outs = [fwd_stream(params, state, w, i) for (w, i) in stacks[:reps]]
-    outs = [np.asarray(o) for o in outs]
-    dt = (time.perf_counter() - t0) / reps
-    assert all(np.isfinite(o).all() for o in outs)
+    # median-of-reps: the shared/virtualized chip shows +-8% run-to-run noise
+    times = []
+    for (w, i) in stacks[:reps]:
+        t0 = time.perf_counter()
+        out = np.asarray(fwd_stream(params, state, w, i))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(out).all()
+    dt = sorted(times)[len(times) // 2]
     clips_per_sec = B * M / dt
     waves, imgs = stacks[0]
 
