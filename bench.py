@@ -19,7 +19,7 @@ timed region.
 Baseline: 500 clip pairs/sec on v5e-8 (= 62.5/chip); vs_baseline is measured
 per-chip eval throughput / 62.5.
 
-Env knobs: BENCH_BATCH (4), BENCH_ITERS (16), BENCH_TRAIN=0/1 (1),
+Env knobs: BENCH_BATCH (4), BENCH_ITERS (32), BENCH_TRAIN=0/1 (1),
 BENCH_E2E=0/1 (1), BENCH_PALLAS=0/1 (0).
 """
 from __future__ import annotations
@@ -259,7 +259,7 @@ def main():
     # > B=8 (53.5) > B=12 (50.7) > B=16 (43.2) — small batches keep the
     # working set VMEM-resident
     B = int(os.environ.get("BENCH_BATCH", "4"))
-    M = int(os.environ.get("BENCH_ITERS", "16"))
+    M = int(os.environ.get("BENCH_ITERS", "32"))
 
     try:
         clips_per_sec, mfu, hbm = bench_forward(cfg, params, state, B, M)
