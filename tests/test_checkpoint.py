@@ -38,3 +38,25 @@ def test_train_state_roundtrip(tmp_path):
     opt2 = jax.tree_util.tree_map(jnp.asarray, opt2)
     updates, _ = tx.update(grads, opt2, params2)
     assert updates["w"].shape == (3, 3)
+
+
+def test_restore_matching_partial():
+    """Path-aware partial restore: same-shape paths copied, mismatched or
+    missing paths keep the template (zero_shot.py:92-93 skip semantics)."""
+    import numpy as np
+
+    from dg_sct_tpu.utils import checkpoint as C
+
+    template = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(4), "d": np.zeros(5)},
+                "lst": [np.zeros(2), np.zeros(2)]}
+    loaded = {"a": np.ones((2, 3)),                       # shape match -> copy
+              "b": {"c": np.ones(9)},                     # mismatch -> skip
+              "extra": np.ones(7),                        # no template -> skip
+              "lst": [np.full(2, 5.0), np.full(2, 6.0)]}  # list positions copy
+    merged, skipped = C.restore_matching(template, loaded)
+    np.testing.assert_array_equal(merged["a"], 1.0)
+    np.testing.assert_array_equal(merged["b"]["c"], 0.0)
+    np.testing.assert_array_equal(merged["b"]["d"], 0.0)
+    np.testing.assert_array_equal(merged["lst"][0], 5.0)
+    np.testing.assert_array_equal(merged["lst"][1], 6.0)
+    assert sorted(skipped) == ["b/c", "extra"]
