@@ -134,3 +134,72 @@ def test_clap_text_pipeline():
     feats_ck = CT.compute_clap_text_features(["dog", "cat"], clap_state_dict=sd)
     assert feats_ck.shape == (2, 512)
     assert np.max(np.abs(feats_ck - feats)) > 1e-4
+
+
+def test_feature_fusion_matches_torch():
+    """DAF/AFF/iAFF vs a direct torch build of the WACV-2021 fusion modules
+    (1x1 conv + BN chains; reference `pretrain/nets/feature_fusion.py`)."""
+    from dg_sct_tpu.models import feature_fusion as FF
+
+    C, r, B, H, W = 8, 4, 2, 3, 3
+    rs = np.random.RandomState(0)
+    x = rs.randn(B, H, W, C).astype(np.float32)
+    res = rs.randn(B, H, W, C).astype(np.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(FF.daf(jnp.asarray(x), jnp.asarray(res))), x + res)
+
+    def torch_att(params, pooled=False):
+        inter = C // r
+        seq = []
+        if pooled:
+            seq.append(torch.nn.AdaptiveAvgPool2d(1))
+        seq += [torch.nn.Conv2d(C, inter, 1), torch.nn.BatchNorm2d(inter),
+                torch.nn.ReLU(), torch.nn.Conv2d(inter, C, 1),
+                torch.nn.BatchNorm2d(C)]
+        m = torch.nn.Sequential(*seq).eval()
+        conv1, bn1, conv2, bn2 = ([l for l in m if isinstance(l, torch.nn.Conv2d)][0],
+                                  [l for l in m if isinstance(l, torch.nn.BatchNorm2d)][0],
+                                  [l for l in m if isinstance(l, torch.nn.Conv2d)][1],
+                                  [l for l in m if isinstance(l, torch.nn.BatchNorm2d)][1])
+        with torch.no_grad():
+            conv1.weight.copy_(torch.from_numpy(
+                np.asarray(params["fc1"]["kernel"]).T[:, :, None, None]))
+            conv1.bias.copy_(torch.from_numpy(np.asarray(params["fc1"]["bias"])))
+            conv2.weight.copy_(torch.from_numpy(
+                np.asarray(params["fc2"]["kernel"]).T[:, :, None, None]))
+            conv2.bias.copy_(torch.from_numpy(np.asarray(params["fc2"]["bias"])))
+            for bn, name in ((bn1, "bn1"), (bn2, "bn2")):
+                bn.weight.copy_(torch.from_numpy(np.asarray(params[name]["scale"])))
+                bn.bias.copy_(torch.from_numpy(np.asarray(params[name]["bias"])))
+        return m
+
+    # AFF
+    pa, sa = FF.init_aff(jax.random.PRNGKey(0), channels=C, r=r)
+    ours, _ = FF.aff(pa, sa, jnp.asarray(x), jnp.asarray(res), train=False)
+    tl = torch_att(pa["local_att"])
+    tg = torch_att(pa["global_att"], pooled=True)
+    with torch.no_grad():
+        xt = torch.from_numpy((x + res).transpose(0, 3, 1, 2))
+        wei = torch.sigmoid(tl(xt) + tg(xt))
+        ref = (2 * torch.from_numpy(x.transpose(0, 3, 1, 2)) * wei
+               + 2 * torch.from_numpy(res.transpose(0, 3, 1, 2)) * (1 - wei))
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+    # iAFF (round 2 reuses global_att — the reference's own forward)
+    pi, si = FF.init_iaff(jax.random.PRNGKey(1), channels=C, r=r)
+    ours2, _ = FF.iaff(pi, si, jnp.asarray(x), jnp.asarray(res), train=False)
+    tl1 = torch_att(pi["local_att"])
+    tg1 = torch_att(pi["global_att"], pooled=True)
+    tl2 = torch_att(pi["local_att2"])
+    with torch.no_grad():
+        xt = torch.from_numpy((x + res).transpose(0, 3, 1, 2))
+        xr = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        rr = torch.from_numpy(res.transpose(0, 3, 1, 2))
+        wei = torch.sigmoid(tl1(xt) + tg1(xt))
+        xi = xr * wei + rr * (1 - wei)
+        wei2 = torch.sigmoid(tl2(xi) + tg1(xi))
+        ref2 = xr * wei2 + rr * (1 - wei2)
+    np.testing.assert_allclose(np.asarray(ours2),
+                               ref2.numpy().transpose(0, 2, 3, 1), atol=1e-5)
