@@ -66,3 +66,58 @@ def constrain_batch(x, mesh: Mesh, axis: str = DATA_AXIS):
     used at tower boundaries inside jit so XLA keeps activations sharded."""
     spec = P(axis, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+# ---------------------------------------------------------------------------
+# 2-D (data x model) mesh: tensor-parallel parameter sharding for scale-out
+# beyond pure data parallelism. The reference has nothing comparable
+# (SURVEY.md §2.8); at DG-SCT's size TP is optional, but the framework exposes
+# it so larger backbones drop in: annotate the params, let GSPMD insert the
+# collectives.
+# ---------------------------------------------------------------------------
+
+MODEL_AXIS = "model"
+
+
+def make_mesh_2d(data: int, model: int) -> Mesh:
+    devs = jax.devices()
+    if len(devs) < data * model:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) > len(devs):
+            devs = cpu
+    if len(devs) < data * model:
+        raise RuntimeError(f"make_mesh_2d({data},{model}): only {len(devs)} devices")
+    return Mesh(np.asarray(devs[: data * model]).reshape(data, model),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+def tp_param_spec(path, leaf, model_size: int):
+    """Megatron-style sharding rule for a param leaf: MLP fc1 column-split /
+    fc2 row-split over the model axis (the all-reduce lands after fc2, where
+    GSPMD inserts it); everything else replicated. Only applies when the
+    relevant dim divides the model axis."""
+    keys = [p.key for p in path if hasattr(p, "key")]
+    if leaf.ndim == 2 and "mlp" in keys and "kernel" in keys:
+        if "fc1" in keys and leaf.shape[1] % model_size == 0:
+            return P(None, MODEL_AXIS)            # column parallel
+        if "fc2" in keys and leaf.shape[0] % model_size == 0:
+            return P(MODEL_AXIS, None)            # row parallel
+    if leaf.ndim == 1 and "mlp" in keys and "fc1" in keys and "bias" in keys \
+            and leaf.shape[0] % model_size == 0:
+        return P(MODEL_AXIS)
+    return P()
+
+
+def tp_shard_params(params, mesh: Mesh):
+    """Device-put a param tree with Megatron TP sharding over the mesh's
+    model axis (data axis left for the batch)."""
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def put(path, leaf):
+        spec = tp_param_spec(path, leaf, model_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)

@@ -71,3 +71,42 @@ def test_sharded_train_step_runs():
     # updated trainable params stay replicated (no sharding leak)
     leaf = jax.tree_util.tree_leaves(tr2)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_2d_mesh_tensor_parallel_eval_matches():
+    """(4 data x 2 model) mesh: MLP weights Megatron-sharded over the model
+    axis, batch over data; GSPMD inserts the collectives. Numerics match the
+    single-device eval."""
+    cfg = tiny_cfg()
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    tr, fr = ave_train.partition_params(params)
+    estep = ave_train.make_eval_step(cfg)
+
+    B = 8
+    rs = np.random.RandomState(1)
+    gt = np.zeros((B, cfg.num_frames, 29), np.float32)
+    gt[:, :, 2] = 1.0
+    batch = {
+        "wave": jnp.asarray(rs.randn(B, cfg.num_frames, cfg.htsat.frontend.clip_samples).astype(np.float32)),
+        "image": jnp.asarray(rs.rand(B, cfg.num_frames, 64, 64, 3).astype(np.float32)),
+        "gt": jnp.asarray(gt),
+    }
+    single = estep(tr, fr, state, batch)
+
+    m2 = M.make_mesh_2d(4, 2)
+    # sanity: some leaves actually get model-sharded
+    specs = jax.tree_util.tree_map_with_path(
+        lambda p, l: str(M.tp_param_spec(p, l, 2)), fr)
+    assert any("model" in s for s in jax.tree_util.tree_leaves(specs))
+    tr_s = M.tp_shard_params(tr, m2)
+    fr_s = M.tp_shard_params(fr, m2)
+    state_r = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+            m2, jax.sharding.PartitionSpec())), state)
+    batch_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+            m2, jax.sharding.PartitionSpec("data"))), batch)
+    sharded = estep(tr_s, fr_s, state_r, batch_s)
+    np.testing.assert_allclose(np.asarray(single["outputs"]["event_scores"]),
+                               np.asarray(sharded["outputs"]["event_scores"]),
+                               atol=1e-4)
