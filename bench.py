@@ -79,7 +79,9 @@ def bench_forward(cfg, params, state, B, M):
                            .astype(np.float32)).astype(jnp.bfloat16)
         stacks.append((waves, imgs))
     jax.block_until_ready(stacks)
+    t0 = time.perf_counter()
     _ = np.asarray(fwd_stream(params, state, *stacks[-1]))  # compile+warm
+    bench_forward.compile_s = round(time.perf_counter() - t0, 1)
 
     # median-of-reps: the shared/virtualized chip shows +-8% run-to-run noise
     times = []
@@ -233,7 +235,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("BENCH_CACHE_DIR", "/tmp/dg_sct_tpu_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dg_sct_tpu.configs import AVEModelConfig
@@ -244,6 +247,9 @@ def main():
         W.set_pallas(True)
     if os.environ.get("BENCH_FUSED", "0") == "1":
         W.set_fused_block(True)
+    if os.environ.get("BENCH_NO_SCAN", "0") == "1":
+        from dg_sct_tpu.models import interleave as I
+        I.set_scan(False)
 
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):
@@ -274,6 +280,7 @@ def main():
         "vs_baseline": round(clips_per_sec / (500.0 / 8.0), 3),
         "mfu_pct": round(mfu, 2),
         "hbm_util_pct": round(hbm, 2),
+        "compile_s": getattr(bench_forward, "compile_s", None),
     }
     if os.environ.get("BENCH_E2E", "1") == "1":
         try:

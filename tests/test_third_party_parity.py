@@ -23,60 +23,9 @@ def _t(x):
     return x.detach().numpy()
 
 
-def hf_swinv2_to_params(hf_model, cfg: SwinV2Config):
-    """Map a `transformers.Swinv2Model` state into our param tree."""
-    sd = {k: _t(v) for k, v in hf_model.state_dict().items()}
-    p = {
-        "patch_embed": {
-            # conv (E, C, P, P) -> (P, P, C, E)
-            "kernel": sd["embeddings.patch_embeddings.projection.weight"]
-                      .transpose(2, 3, 1, 0),
-            "bias": sd["embeddings.patch_embeddings.projection.bias"],
-            "norm": {"scale": sd["embeddings.norm.weight"],
-                     "bias": sd["embeddings.norm.bias"]},
-        },
-        "norm": {"scale": sd["layernorm.weight"], "bias": sd["layernorm.bias"]},
-        "layers": [],
-    }
-    for s in range(cfg.num_layers):
-        blocks = []
-        for d in range(cfg.depths[s]):
-            b = f"encoder.layers.{s}.blocks.{d}."
-            a = b + "attention.self."
-            qkv = np.concatenate([sd[a + "query.weight"].T,
-                                  sd[a + "key.weight"].T,
-                                  sd[a + "value.weight"].T], axis=1)
-            blocks.append({
-                "attn": {
-                    "qkv": {"kernel": qkv},
-                    "q_bias": sd[a + "query.bias"],
-                    "v_bias": sd[a + "value.bias"],
-                    "logit_scale": sd[a + "logit_scale"],
-                    "cpb_fc1": {"kernel": sd[a + "continuous_position_bias_mlp.0.weight"].T,
-                                "bias": sd[a + "continuous_position_bias_mlp.0.bias"]},
-                    "cpb_fc2": {"kernel": sd[a + "continuous_position_bias_mlp.2.weight"].T},
-                    "proj": {"kernel": sd[b + "attention.output.dense.weight"].T,
-                             "bias": sd[b + "attention.output.dense.bias"]},
-                },
-                "norm1": {"scale": sd[b + "layernorm_before.weight"],
-                          "bias": sd[b + "layernorm_before.bias"]},
-                "mlp": {"fc1": {"kernel": sd[b + "intermediate.dense.weight"].T,
-                                "bias": sd[b + "intermediate.dense.bias"]},
-                        "fc2": {"kernel": sd[b + "output.dense.weight"].T,
-                                "bias": sd[b + "output.dense.bias"]}},
-                "norm2": {"scale": sd[b + "layernorm_after.weight"],
-                          "bias": sd[b + "layernorm_after.bias"]},
-            })
-        stage = {"blocks": blocks}
-        dkey = f"encoder.layers.{s}.downsample."
-        if dkey + "reduction.weight" in sd:
-            stage["downsample"] = {
-                "reduction": {"kernel": sd[dkey + "reduction.weight"].T},
-                "norm": {"scale": sd[dkey + "norm.weight"],
-                         "bias": sd[dkey + "norm.bias"]},
-            }
-        p["layers"].append(stage)
-    return jax.tree_util.tree_map(jnp.asarray, p)
+def hf_swinv2_to_params(hf_model, cfg):
+    from dg_sct_tpu.utils.hf_convert import swinv2_from_transformers
+    return swinv2_from_transformers(hf_model, cfg)
 
 
 @pytest.mark.parametrize("img,embed,depths,heads,window", [
@@ -113,28 +62,6 @@ def test_swinv2_tower_matches_transformers(img, embed, depths, heads, window):
     np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=1e-2)
 
 
-def _clip_resblock(sd, pre):
-    qkv_k = np.concatenate([sd[pre + "self_attn.q_proj.weight"].T,
-                            sd[pre + "self_attn.k_proj.weight"].T,
-                            sd[pre + "self_attn.v_proj.weight"].T], axis=1)
-    qkv_b = np.concatenate([sd[pre + "self_attn.q_proj.bias"],
-                            sd[pre + "self_attn.k_proj.bias"],
-                            sd[pre + "self_attn.v_proj.bias"]])
-    return {
-        "ln_1": {"scale": sd[pre + "layer_norm1.weight"],
-                 "bias": sd[pre + "layer_norm1.bias"]},
-        "attn": {"in_proj": {"kernel": qkv_k, "bias": qkv_b},
-                 "out_proj": {"kernel": sd[pre + "self_attn.out_proj.weight"].T,
-                              "bias": sd[pre + "self_attn.out_proj.bias"]}},
-        "ln_2": {"scale": sd[pre + "layer_norm2.weight"],
-                 "bias": sd[pre + "layer_norm2.bias"]},
-        "mlp": {"c_fc": {"kernel": sd[pre + "mlp.fc1.weight"].T,
-                         "bias": sd[pre + "mlp.fc1.bias"]},
-                "c_proj": {"kernel": sd[pre + "mlp.fc2.weight"].T,
-                           "bias": sd[pre + "mlp.fc2.bias"]}},
-    }
-
-
 def test_clip_towers_match_transformers():
     """Our OpenAI-CLIP towers (`pretrain/nets/clip/model.py` rebuild) vs
     `transformers.CLIPModel` — an independent implementation of the same
@@ -158,38 +85,12 @@ def test_clip_towers_match_transformers():
                          hidden_act="quick_gelu", attention_dropout=0.0))
     torch.manual_seed(1)
     hf = CLIPModel(hf_cfg).eval()
-    sd = {k: _t(v) for k, v in hf.state_dict().items()}
-
     cfg = CLIPConfig(image_size=img, vision_patch=patch, vision_width=width,
                      vision_layers=layers, vision_heads=heads, embed_dim=embed,
                      context_length=ctx, text_width=twidth, text_layers=tlayers,
                      text_heads=theads, vocab_size=vocab)
-
-    vp = {
-        "conv1": {"kernel": sd["vision_model.embeddings.patch_embedding.weight"]
-                  .transpose(2, 3, 1, 0)},
-        "class_embedding": sd["vision_model.embeddings.class_embedding"],
-        "positional_embedding": sd["vision_model.embeddings.position_embedding.weight"],
-        "ln_pre": {"scale": sd["vision_model.pre_layrnorm.weight"],
-                   "bias": sd["vision_model.pre_layrnorm.bias"]},
-        "resblocks": [_clip_resblock(sd, f"vision_model.encoder.layers.{i}.")
-                      for i in range(layers)],
-        "ln_post": {"scale": sd["vision_model.post_layernorm.weight"],
-                    "bias": sd["vision_model.post_layernorm.bias"]},
-        "proj": sd["visual_projection.weight"].T,
-    }
-    tp = {
-        "token_embedding": sd["text_model.embeddings.token_embedding.weight"],
-        "positional_embedding": sd["text_model.embeddings.position_embedding.weight"],
-        "resblocks": [_clip_resblock(sd, f"text_model.encoder.layers.{i}.")
-                      for i in range(tlayers)],
-        "ln_final": {"scale": sd["text_model.final_layer_norm.weight"],
-                     "bias": sd["text_model.final_layer_norm.bias"]},
-        "text_projection": sd["text_projection.weight"].T,
-        "logit_scale": np.float32(_t(hf.logit_scale)),
-    }
-    vp = jax.tree_util.tree_map(jnp.asarray, vp)
-    tp = jax.tree_util.tree_map(jnp.asarray, tp)
+    from dg_sct_tpu.utils.hf_convert import clip_from_transformers
+    vp, tp = clip_from_transformers(hf, cfg)
 
     rs = np.random.RandomState(0)
     x = rs.randn(2, img, img, 3).astype(np.float32)
