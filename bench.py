@@ -170,7 +170,9 @@ def bench_train(B, M):
             body, (tr, state, opt_state), (batches, rngs))
         return ls
 
+    t0 = time.perf_counter()
     ls = np.asarray(train_stream(tr, fr, state, opt_state, stacked, rngs))
+    bench_train.compile_s = round(time.perf_counter() - t0, 1)
     assert np.isfinite(ls).all()
     t0 = time.perf_counter()
     ls = np.asarray(train_stream(tr, fr, state, opt_state, stacked,
@@ -247,9 +249,11 @@ def main():
         W.set_pallas(True)
     if os.environ.get("BENCH_FUSED", "0") == "1":
         W.set_fused_block(True)
-    if os.environ.get("BENCH_NO_SCAN", "0") == "1":
-        from dg_sct_tpu.models import interleave as I
-        I.set_scan(False)
+    # serving config: the stage-2 pair scan is a TRAINING compile-time
+    # feature; nested inside the streaming scan it slows BOTH compile (988 vs
+    # 551 s cold) and run (61.8 vs 62.5 clips/s) — off for the eval stream.
+    from dg_sct_tpu.models import interleave as I
+    I.set_scan(os.environ.get("BENCH_SCAN", "0") == "1")
 
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):
@@ -267,11 +271,14 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "4"))
     M = int(os.environ.get("BENCH_ITERS", "32"))
 
-    try:
-        clips_per_sec, mfu, hbm = bench_forward(cfg, params, state, B, M)
-    except Exception:
-        W.set_pallas(False)
-        clips_per_sec, mfu, hbm = bench_forward(cfg, params, state, B, M)
+    if os.environ.get("BENCH_FWD", "1") == "1":
+        try:
+            clips_per_sec, mfu, hbm = bench_forward(cfg, params, state, B, M)
+        except Exception:
+            W.set_pallas(False)
+            clips_per_sec, mfu, hbm = bench_forward(cfg, params, state, B, M)
+    else:
+        clips_per_sec = mfu = hbm = float("nan")
 
     result = {
         "metric": "ave_clip_pairs_per_sec_per_chip",
@@ -296,6 +303,7 @@ def main():
         try:
             result["train_clips_per_sec"] = round(
                 bench_train(int(os.environ.get("BENCH_TRAIN_BATCH", "4")), 4), 2)
+            result["train_compile_s"] = getattr(bench_train, "compile_s", None)
         except Exception as e:
             result["train_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(result))
