@@ -24,6 +24,23 @@ def load_vocab(path: str) -> List[str]:
         return [ln.rstrip("\n") for ln in f if ln.rstrip("\n")]
 
 
+def build_vocabs(train_json: str):
+    """Live-build the question/answer vocabs from the train split exactly like
+    the reference (`dataloader_avst.py:40-65`): '<pad>' first, then words in
+    first-appearance order over template-substituted questions; answers in
+    first-appearance order. MUSIC-AVQA yields 93 question words / 42 answers."""
+    with open(train_json) as f:
+        samples = json.load(f)
+    ques_vocab, ans_vocab = ["<pad>"], []
+    for s in samples:
+        for wd in parse_question(s):
+            if wd not in ques_vocab:
+                ques_vocab.append(wd)
+        if s["anser"] not in ans_vocab:
+            ans_vocab.append(s["anser"])
+    return ques_vocab, ans_vocab
+
+
 def parse_question(sample: dict) -> List[str]:
     """Substitute template values into the question (dataloader_avst.py:49-56)."""
     words = sample["question_content"].rstrip().split(" ")
@@ -47,8 +64,22 @@ class AVQADataset:
     def __init__(self, meta_root: str, split_json: str, frame_dir: Optional[str] = None,
                  audio_dir: Optional[str] = None, img_size: int = 192,
                  num_frames: int = 10, segment_samples: int = 32000, seed: int = 0):
-        self.ques_vocab = load_vocab(os.path.join(meta_root, "ques_vocab.txt"))
-        self.ans_vocab = load_vocab(os.path.join(meta_root, "ans_vocab.txt"))
+        ques_path = os.path.join(meta_root, "ques_vocab.txt")
+        if os.path.exists(ques_path):
+            self.ques_vocab = load_vocab(ques_path)
+            self.ans_vocab = load_vocab(os.path.join(meta_root, "ans_vocab.txt"))
+        else:
+            # live-build from the train split (dataloader_avst.py:40-65); the
+            # reference data dir ships jsons + ans_vocab.txt but no ques vocab
+            train_json = next(p for p in (
+                os.path.join(meta_root, "json", "avqa-train.json"),
+                os.path.join(meta_root, "avqa-train.json"),
+                os.path.join(os.path.dirname(split_json), "avqa-train.json"))
+                if os.path.exists(p))
+            self.ques_vocab, built_ans = build_vocabs(train_json)
+            ans_path = os.path.join(meta_root, "ans_vocab.txt")
+            self.ans_vocab = load_vocab(ans_path) if os.path.exists(ans_path) \
+                else built_ans
         self.word_to_ix = {w: i for i, w in enumerate(self.ques_vocab)}
         self.ans_to_ix = {w: i for i, w in enumerate(self.ans_vocab)}
         with open(split_json) as f:

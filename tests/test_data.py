@@ -88,3 +88,72 @@ def test_batched_iterator():
     batches = list(ave_data.batched_iterator(Fake(), 2, shuffle=False, drop_last=True))
     assert len(batches) == 3
     assert batches[0]["image"].shape == (2, 2, 4, 4, 3)
+
+
+def test_avqa_real_metadata():
+    """Our AVQA parsing against the REAL shipped MUSIC-AVQA metadata
+    (`/root/reference/data/AVQA`): template substitution, tokenization bounds,
+    answers covered by ans_vocab.txt."""
+    import json
+    import os
+
+    import pytest
+
+    from dg_sct_tpu.data import avqa
+
+    meta = "/root/reference/data/AVQA"
+    test_json = os.path.join(meta, "json", "avqa-test.json")
+    if not os.path.exists(test_json):
+        pytest.skip("reference AVQA metadata not present")
+
+    ans_vocab = avqa.load_vocab(os.path.join(meta, "ans_vocab.txt"))
+    assert len(ans_vocab) == 42  # SURVEY §2.5: 42-answer vocab
+    ans_to_ix = {a: i for i, a in enumerate(ans_vocab)}
+
+    with open(test_json) as f:
+        samples = json.load(f)
+    assert len(samples) > 1000
+    # build question vocab from the largest available json (train json is not
+    # shipped; the vocab-building code path is what's under test)
+    ques_vocab, built_ans = avqa.build_vocabs(test_json)
+    assert ques_vocab[0] == "<pad>"
+    assert set(built_ans) <= set(ans_vocab)
+
+    word_to_ix = {w: i for i, w in enumerate(ques_vocab)}
+    for s in samples[:500]:
+        words = avqa.parse_question(s)
+        assert all("<" not in w for w in words), words  # templates substituted
+        tok = avqa.tokenize(words, word_to_ix)
+        assert tok.shape == (avqa.MAX_QST_LEN,)
+        assert s["anser"] in ans_to_ix
+        # the 9 question types parse as [Modality, SubType]
+        import ast as _ast
+        mod, sub = _ast.literal_eval(s["type"])
+        assert mod in ("Audio", "Visual", "Audio-Visual")
+
+
+def test_ave_official_split_sizes():
+    """Our Annotations.txt-driven splits match the reference's shipped
+    `*_order.h5` official split sizes exactly."""
+    import os
+
+    import h5py
+    import pytest
+
+    meta = "/root/reference/data/AVE"
+    if not os.path.exists(os.path.join(meta, "train_order.h5")):
+        pytest.skip("reference AVE metadata not present")
+
+    from dg_sct_tpu.data import ave as ave_data
+    sizes = {}
+    for split, h5name in (("train", "train_order.h5"), ("test", "test_order.h5"),
+                          ("val", "val_order.h5")):
+        ds = ave_data.AVEDataset(meta, split)
+        with h5py.File(os.path.join(meta, h5name)) as f:
+            sizes[split] = (len(ds), int(f["order"].shape[0]))
+    for split, (ours, ref) in sizes.items():
+        assert ours == ref, (split, ours, ref)
+    # 28 foreground categories, 29-wide segment grids
+    ds = ave_data.AVEDataset(meta, "train")
+    assert len(ds.categories) == 28
+    assert next(iter(ds.labels.values())).shape == (10, 29)
