@@ -157,3 +157,36 @@ def test_ave_official_split_sizes():
     ds = ave_data.AVEDataset(meta, "train")
     assert len(ds.categories) == 28
     assert next(iter(ds.labels.values())).shape == (10, 29)
+
+
+def test_avvp_real_metadata():
+    """LLP csv parsing against the REAL shipped AVVP metadata: 25 categories
+    all appear, eval-csv temporal grids are consistent."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    meta = "/root/reference/data/AVVP"
+    if not os.path.exists(os.path.join(meta, "AVVP_train.csv")):
+        pytest.skip("reference AVVP metadata not present")
+
+    from dg_sct_tpu.data import avvp
+
+    rows = avvp.parse_label_csv(os.path.join(meta, "AVVP_train.csv"))
+    assert len(rows) > 5000
+    hit = np.zeros(len(avvp.CATEGORIES))
+    for _, target in rows:
+        assert target.shape == (25,) and target.sum() >= 1
+        hit += target
+    assert (hit > 0).all()  # every category used in train
+
+    ann_a = avvp.parse_eval_csv(os.path.join(meta, "AVVP_eval_audio.csv"))
+    ann_v = avvp.parse_eval_csv(os.path.join(meta, "AVVP_eval_visual.csv"))
+    assert len(ann_a) > 500 and len(ann_v) > 500
+    test_rows = avvp.parse_label_csv(os.path.join(meta, "AVVP_test_pd.csv"))
+    test_ids = {vid[:11] for vid, _ in test_rows}
+    # eval annotations cover the test split
+    assert len(test_ids & set(ann_a)) > 0.8 * len(test_ids)
+    for grid in list(ann_a.values())[:50]:
+        assert grid.shape == (25, 10) and set(np.unique(grid)) <= {0, 1}
