@@ -280,6 +280,7 @@ def main():
     else:
         clips_per_sec = mfu = hbm = float("nan")
 
+    import math
     result = {
         "metric": "ave_clip_pairs_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
@@ -289,6 +290,8 @@ def main():
         "hbm_util_pct": round(hbm, 2),
         "compile_s": getattr(bench_forward, "compile_s", None),
     }
+    result = {k: v for k, v in result.items()
+              if not (isinstance(v, float) and math.isnan(v))}
     if os.environ.get("BENCH_E2E", "1") == "1":
         try:
             result["e2e_clips_per_sec"] = round(
