@@ -1,0 +1,134 @@
+"""Streaming inference engine — the production serving path.
+
+The reference has no serving story (research eval loops only). This engine
+packages the lessons from `bench.py` into an API:
+
+  * fixed-shape compilation: one jitted program per (batch, chunk) shape,
+    compiled once and reused for the whole stream;
+  * chunked `lax.scan` execution: `chunk` steps run per dispatch, amortizing
+    host->device dispatch latency (the dominant per-call cost on tunneled or
+    remote-attached accelerators);
+  * host pipeline overlap: a threaded decode pool (native C++ JPEG core when
+    available) keeps `prefetch` chunks staged ahead of the device;
+  * bf16 weights/activations on device, f32 scores back to the host.
+
+Usage:
+    eng = AVEInferenceEngine(cfg, params, state, batch_size=4, chunk=8)
+    ev, is_ev, pred = eng.predict_clips(dataset)
+    # ev (N, 28) clip logits; is_ev (N, T); pred (N, T) per-segment classes
+    # (bg=28), exactly the driver's decision rule (train/metrics.py:13-23)
+"""
+from __future__ import annotations
+
+import queue as queue_mod
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .configs import AVEModelConfig
+from .models import ave
+
+
+class AVEInferenceEngine:
+    def __init__(self, cfg: AVEModelConfig, params, state, *, batch_size: int = 4,
+                 chunk: int = 8, compute_dtype=jnp.bfloat16, prefetch: int = 2,
+                 num_workers: int = 8):
+        self.cfg = cfg
+        self.B = batch_size
+        self.chunk = chunk
+        self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.dtype = compute_dtype
+
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        self.params = cast(params)
+        self.state = cast(state)
+
+        def stream_fn(params, state, waves, imgs):
+            def body(carry, wi):
+                w, im = wi
+                out, _ = ave.forward(params, state, w, im, cfg, train=False)
+                return carry, {k: out[k].astype(jnp.float32)
+                               for k in ("event_scores", "is_event_scores")}
+
+            _, outs = jax.lax.scan(body, 0, (waves, imgs))
+            return outs
+
+        self._fn = jax.jit(stream_fn)
+
+    def _chunk_batches(self, dataset) -> Iterator[Tuple[np.ndarray, np.ndarray, list]]:
+        """Group the dataset into (chunk, B, ...) stacked input blocks; the
+        final ragged block is padded up to full shape (pad rows dropped from
+        the yielded ids)."""
+        from .data.ave import batched_iterator
+
+        waves, imgs, ids = [], [], []
+        for bi, batch in enumerate(batched_iterator(
+                dataset, self.B, shuffle=False, drop_last=False,
+                num_workers=self.num_workers, prefetch=self.prefetch * self.chunk)):
+            n = batch["wave"].shape[0]
+            if n < self.B:  # pad the final partial batch
+                reps = self.B - n
+                batch = {k: (np.concatenate([v] + [v[-1:]] * reps)
+                             if isinstance(v, np.ndarray) else v)
+                         for k, v in batch.items()}
+            waves.append(batch["wave"])
+            imgs.append(batch["image"])
+            ids.append([(bi * self.B + j) for j in range(n)])
+            if len(waves) == self.chunk:
+                yield np.stack(waves), np.stack(imgs), ids
+                waves, imgs, ids = [], [], []
+        if waves:
+            while len(waves) < self.chunk:  # pad the final partial chunk
+                waves.append(waves[-1])
+                imgs.append(imgs[-1])
+                ids.append([])
+            yield np.stack(waves), np.stack(imgs), ids
+
+    def stream(self, dataset) -> Iterator[Tuple[dict, list]]:
+        """Yield ({event_scores (chunk, B*T, n_cls+1), is_event_scores ...},
+        ids) per chunk, with the NEXT chunk's decode and upload overlapping the
+        current chunk's device execution (1-deep software pipeline)."""
+        pending: Optional[tuple] = None
+        for waves, imgs, ids in self._chunk_batches(dataset):
+            fut = self._fn(self.params, self.state,
+                           jnp.asarray(waves).astype(self.dtype),
+                           jnp.asarray(imgs).astype(self.dtype))
+            if pending is not None:
+                yield self._finish(pending)
+            pending = (fut, ids)
+        if pending is not None:
+            yield self._finish(pending)
+
+    @staticmethod
+    def _finish(pending):
+        fut, ids = pending
+        out = {k: np.asarray(v) for k, v in fut.items()}
+        return out, ids
+
+    def predict_clips(self, dataset):
+        """Run the whole dataset; returns (event_scores (N, n_cls),
+        is_event_scores (N, T), segment_preds (N, T)) in dataset order,
+        padding removed. Segment rule = the AVE driver's
+        (`train/metrics.py:13-23`): background unless sigmoid(is_event)>0.5,
+        else the clip-level argmax class."""
+        ev_all, is_all = [], []
+        for out, ids in self.stream(dataset):
+            ev = out["event_scores"]        # (chunk, B, n_cls)
+            ie = out["is_event_scores"]     # (chunk, B, T)
+            for ci, id_row in enumerate(ids):
+                k = len(id_row)
+                if k:
+                    ev_all.append(ev[ci, :k])
+                    is_all.append(ie[ci, :k])
+        ev = np.concatenate(ev_all)
+        ie = np.concatenate(is_all)
+        n_cls = ev.shape[-1]
+        pos = 1.0 / (1.0 + np.exp(-ie)) > 0.5
+        pred = np.where(pos, ev.argmax(-1)[:, None], n_cls)
+        return ev, ie, pred

@@ -1,0 +1,43 @@
+"""Streaming inference engine over a real on-disk media tree (tiny config)."""
+import numpy as np
+import pytest
+
+from tests import media_tree
+from tests.test_ave_model import tiny_cfg
+
+pytestmark = pytest.mark.slow
+
+
+def test_ave_inference_engine(tmp_path):
+    import jax
+
+    from dg_sct_tpu.data import ave as ave_data
+    from dg_sct_tpu.models import ave
+    from dg_sct_tpu.serve import AVEInferenceEngine
+
+    cfg = tiny_cfg()
+    root = str(tmp_path)
+    cats = ["a", "b", "c"]
+    tree = media_tree.make_ave_tree(root, [f"sv{i}" for i in range(7)], cats,
+                                    n_frames=3, img_size=cfg.swin.img_size,
+                                    wave_samples=2 * 3200)
+    ds = ave_data.AVEDataset(root, "test", frame_dir=tree["frames"],
+                             audio_dir=tree["audio"],
+                             img_size=cfg.swin.img_size,
+                             num_frames=cfg.num_frames, segment_samples=3200)
+    assert len(ds) == 7
+
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    # B=2, chunk=2 -> 7 clips = 4 batches = 2 chunks (2nd padded)
+    eng = AVEInferenceEngine(cfg, params, state, batch_size=2, chunk=2,
+                             compute_dtype=np.float32)
+    ev, ie, pred = eng.predict_clips(ds)
+    assert ev.shape == (7, 28)          # ragged tail correctly un-padded
+    assert ie.shape == (7, cfg.num_frames)
+    assert pred.shape == (7, cfg.num_frames)
+    assert np.isfinite(ev).all() and np.isfinite(ie).all()
+    assert ((pred >= 0) & (pred <= 28)).all()
+
+    # deterministic across runs (fixed-shape compiled program)
+    ev2, _, _ = eng.predict_clips(ds)
+    np.testing.assert_allclose(ev2, ev, atol=1e-5)
