@@ -249,11 +249,9 @@ def main():
         W.set_pallas(True)
     if os.environ.get("BENCH_FUSED", "0") == "1":
         W.set_fused_block(True)
-    # serving config: the stage-2 pair scan is a TRAINING compile-time
-    # feature; nested inside the streaming scan it slows BOTH compile (988 vs
-    # 551 s cold) and run (61.8 vs 62.5 clips/s) — off for the eval stream.
-    from dg_sct_tpu.models import interleave as I
-    I.set_scan(os.environ.get("BENCH_SCAN", "0") == "1")
+    if os.environ.get("BENCH_SCAN", "0") == "1":  # measured slower; see interleave.py
+        from dg_sct_tpu.models import interleave as I
+        I.set_scan(True)
 
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):

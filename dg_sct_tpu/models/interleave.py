@@ -30,7 +30,14 @@ from . import swinv2 as S
 from ..ops.basic import drop_path, layer_norm, mlp
 
 
-SCAN_REPEATED_STAGES = True  # lax.scan over repeated block groups (compile time)
+# lax.scan over stage-2's repeated block groups. Measured on the v5e tunnel
+# toolchain (perf/compile_time.py): the full-size single train step compiles
+# in 363 s scanned vs 355 s unrolled (no win; XLA's unrolled pipeline is also
+# slightly faster at runtime, and nesting the scan inside a streaming scan
+# REGRESSES compile 988 vs 551 s) — so the default is OFF. The machinery is
+# numerics-bit-matched (tests/test_interleave_scan.py) and available via
+# set_scan(True) for deeper configs where trace size dominates.
+SCAN_REPEATED_STAGES = False
 SCAN_MIN_PAIRS = 2           # scan only when >= this many stacked iterations
 
 

@@ -40,7 +40,7 @@ def test_scan_matches_unrolled(train, dpr):
         out, out_state = I.forward(params, state, wave, imgs, cfg, train=train,
                                    rng=rng)
     finally:
-        I.set_scan(True, min_pairs=2)
+        I.set_scan(False, min_pairs=2)
 
     for k in ("f_v", "f_a"):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
