@@ -181,3 +181,38 @@ def test_mel_filterbank_matches_transformers_audio_utils():
             norm="slaney", mel_scale="slaney")                    # (F, mels)
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref.astype(np.float32), atol=1e-7)
+
+
+@pytest.mark.slow
+def test_swinv2_production_geometry_matches_transformers():
+    """The EXACT flagship tower geometry (`swinv2_large_window12_192_22k`:
+    192^2, embed 192, depths [2,2,18,2], heads [6,12,24,48], window 12 —
+    net_trans.py:693) vs `transformers.Swinv2Model`, weight-for-weight.
+    This is the checkpoint-parity surface for the released AVE weights."""
+    from transformers import Swinv2Config as HFConfig
+    from transformers import Swinv2Model
+
+    img, embed = 192, 192
+    depths, heads, window = (2, 2, 18, 2), (6, 12, 24, 48), 12
+    hf_cfg = HFConfig(image_size=img, patch_size=4, num_channels=3,
+                      embed_dim=embed, depths=list(depths),
+                      num_heads=list(heads), window_size=window,
+                      drop_path_rate=0.0, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0,
+                      use_absolute_embeddings=False)
+    torch.manual_seed(0)
+    hf = Swinv2Model(hf_cfg).eval()
+
+    from dg_sct_tpu.configs import SwinV2Config
+    cfg = SwinV2Config()  # the production default IS this geometry
+    assert (cfg.img_size, cfg.embed_dim, cfg.depths, cfg.num_heads,
+            cfg.window_size) == (img, embed, depths, heads, window)
+    params = hf_swinv2_to_params(hf, cfg)
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(1, img, img, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    ours = np.asarray(S.forward_features(params, jnp.asarray(x), cfg))
+    assert ours.shape == ref.shape == (1, 36, 1536)
+    np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=1e-2)
