@@ -49,6 +49,9 @@ def parse_args(argv=None):
     p.add_argument("--early-stop", type=int, default=5)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--synthetic-steps", type=int, default=1)
+    p.add_argument("--save-pred-mask", action="store_true",
+                   help="write thresholded prediction pngs during --mode eval "
+                        "(test.py --save_pred_mask / utility.py:122)")
     return p.parse_args(argv)
 
 
@@ -68,9 +71,12 @@ def prep_batch(batch, task):
     return {k: jnp.asarray(v) for k, v in out.items()}
 
 
-def evaluate(estep, tr, fr, state, dataset, *, batch_size=4, with_f=False):
+def evaluate(estep, tr, fr, state, dataset, *, batch_size=4, with_f=False,
+             save_dir=None, num_frames=5):
     """Val loop: mIoU over all frames (train.py:313-327); test adds F-score
-    (test.py:134-145)."""
+    (test.py:134-145) and optional prediction-png dumps (test.py:130-132)."""
+    from .metrics import save_masks
+
     ious, fs, n = [], [], 0
     for batch in ave_data.batched_iterator(dataset, batch_size, shuffle=False,
                                            drop_last=False):
@@ -81,6 +87,9 @@ def evaluate(estep, tr, fr, state, dataset, *, batch_size=4, with_f=False):
         ious.append(mask_iou(pred[..., 0], gt[..., 0]) * len(pred))
         if with_f:
             fs.append(f_measure(pred[..., 0], gt[..., 0]) * len(pred))
+        if save_dir is not None and "category" in batch:
+            save_masks(pred[..., 0], save_dir, batch["category"],
+                       batch["video"], num_frames)
         n += len(pred)
     miou = sum(ious) / max(n, 1)
     return (miou, sum(fs) / max(n, 1)) if with_f else miou
@@ -128,8 +137,11 @@ def main(argv=None, cfg: AVSModelConfig | None = None):
 
     if args.mode == "eval":
         test_ds = make_dataset(args, "test", cfg.num_frames, cfg)
+        save_dir = (os.path.join(args.save_dir, "pred_masks")
+                    if args.save_pred_mask else None)
         miou, f = evaluate(estep, tr, fr, state, test_ds,
-                           batch_size=args.batch_size, with_f=True)
+                           batch_size=args.batch_size, with_f=True,
+                           save_dir=save_dir, num_frames=cfg.num_frames)
         print(f"test mIoU: {miou:.4f}  F-score: {f:.4f}")
         return {"miou": miou, "f_score": f}
 

@@ -68,3 +68,23 @@ def f_measure(pred_probs, gt, beta2=0.3, pr_num=255):
     if img_num == 0:
         return 0.0
     return float((avg_f / img_num).max())
+
+
+def save_masks(pred_probs, save_base_path, categories, video_names,
+               num_frames=5):
+    """Write thresholded prediction masks as P-mode pngs under
+    `<base>/<category>/<video>/<video>_<t>.png` — `save_mask`
+    (avs_s4/utils/utility.py:122-147), driven by `--save-pred-mask`.
+    pred_probs: sigmoided (B*T, H, W)."""
+    import os
+
+    from PIL import Image
+
+    masks = (np.asarray(pred_probs) > 0.5).astype(np.uint8) * 255
+    masks = masks.reshape(-1, num_frames, *masks.shape[-2:])
+    for idx, (cat, vid) in enumerate(zip(categories, video_names)):
+        d = os.path.join(save_base_path, cat, vid)
+        os.makedirs(d, exist_ok=True)
+        for t in range(num_frames):
+            Image.fromarray(masks[idx, t]).convert("P").save(
+                os.path.join(d, f"{vid}_{t}.png"), format="PNG")

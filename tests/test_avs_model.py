@@ -153,3 +153,22 @@ def test_s4_masked_av_loss_torch_parity():
     cos = TF.relu((masked_v * ta).sum(-1)) + 1e-6
     ref = (-cos.log()).mean()
     assert ours == pytest.approx(float(ref), abs=1e-5)
+
+
+def test_save_masks(tmp_path):
+    """save_mask png dump (utility.py:122-147): thresholded P-mode pngs under
+    <base>/<category>/<video>/."""
+    from PIL import Image
+
+    from dg_sct_tpu.train.metrics import save_masks
+
+    rs = np.random.RandomState(0)
+    pred = rs.rand(2 * 5, 16, 16)  # 2 videos x 5 frames
+    save_masks(pred, str(tmp_path), ["guitar", "drum"], ["v0", "v1"],
+               num_frames=5)
+    p = tmp_path / "guitar" / "v0" / "v0_3.png"
+    assert p.exists()
+    arr = np.asarray(Image.open(p))
+    assert set(np.unique(arr)) <= {0, 255}
+    np.testing.assert_array_equal(arr > 0, pred[3] > 0.5)
+    assert (tmp_path / "drum" / "v1" / "v1_0.png").exists()
