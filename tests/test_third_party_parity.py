@@ -216,3 +216,25 @@ def test_swinv2_production_geometry_matches_transformers():
     ours = np.asarray(S.forward_features(params, jnp.asarray(x), cfg))
     assert ours.shape == ref.shape == (1, 36, 1536)
     np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=1e-2)
+
+
+def test_htsat_patch_merging_matches_transformers_clap():
+    """Our V1 patch merging (norm-then-reduce, htsat.py:259-298 rebuild) vs
+    CLAP's `ClapAudioPatchMerging` with transferred weights."""
+    from transformers.models.clap.modeling_clap import ClapAudioPatchMerging
+    from dg_sct_tpu.models import htsat as H
+
+    dim, res = 16, (8, 8)
+    torch.manual_seed(4)
+    m = ClapAudioPatchMerging(res, dim=dim, norm_layer=torch.nn.LayerNorm).eval()
+    sd = {k: _t(v) for k, v in m.state_dict().items()}
+    params = {"reduction": {"kernel": sd["reduction.weight"].T},
+              "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}}
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, res[0] * res[1], dim).astype(np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x), res).numpy()
+    ours = np.asarray(H.patch_merging(params, jnp.asarray(x), res))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
