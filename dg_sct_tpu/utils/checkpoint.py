@@ -54,9 +54,16 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 
 
 def save_params(path: str, tree) -> None:
+    """Atomic write (tmp + rename): a preemption mid-save never corrupts an
+    existing checkpoint — the pod-slice analogue of the reference's
+    best-ckpt overwrite (main_trans.py:298), which is not crash-safe."""
     flat = _flatten(jax.device_get(tree))
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **flat)
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
 
 
 def load_params(path: str):
