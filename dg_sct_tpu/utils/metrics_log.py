@@ -27,6 +27,40 @@ def _to_scalar(v):
         return str(v)
 
 
+def snapshot_run(run_dir: str, *, package_root: Optional[str] = None,
+                 config: Optional[Mapping] = None) -> str:
+    """Reproducibility snapshot — the `Recorder` equivalent
+    (`pretrain/utils/Recorder.py:5-88`): copy the framework source into
+    `<run_dir>/code/` (py/cpp files only, git hash recorded when available)
+    and dump the run config, so any experiment directory is self-describing."""
+    import shutil
+    import subprocess
+
+    root = package_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code_dir = os.path.join(run_dir, "code")
+    os.makedirs(code_dir, exist_ok=True)
+    for dirpath, dirnames, files in os.walk(root):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        rel = os.path.relpath(dirpath, root)
+        for name in files:
+            if name.endswith((".py", ".cpp", ".h")):
+                dst = os.path.join(code_dir, rel, name)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(os.path.join(dirpath, name), dst)
+    meta = {"package_root": root}
+    try:
+        meta["git_rev"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root, text=True,
+            capture_output=True, timeout=10).stdout.strip()
+    except Exception:
+        pass
+    if config is not None:
+        meta["config"] = {k: _to_scalar(v) for k, v in dict(config).items()}
+    with open(os.path.join(run_dir, "run_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return code_dir
+
+
 class MetricsLogger:
     """JSONL (always) + TensorBoard (best-effort) scalar logger."""
 

@@ -60,3 +60,17 @@ def test_restore_matching_partial():
     np.testing.assert_array_equal(merged["lst"][0], 5.0)
     np.testing.assert_array_equal(merged["lst"][1], 6.0)
     assert sorted(skipped) == ["b/c", "extra"]
+
+
+def test_snapshot_run(tmp_path):
+    """Recorder-equivalent run snapshot: source copied, meta written."""
+    import json
+    import os
+
+    from dg_sct_tpu.utils.metrics_log import snapshot_run
+
+    code = snapshot_run(str(tmp_path), config={"lr": 1e-3})
+    assert os.path.exists(os.path.join(code, "configs.py"))
+    assert os.path.exists(os.path.join(code, "native", "io_core.cpp"))
+    meta = json.load(open(tmp_path / "run_meta.json"))
+    assert meta["config"]["lr"] == 1e-3
