@@ -25,7 +25,7 @@ from ..data import ave as ave_data
 from ..models import ave as ave_model
 from ..parallel import mesh as M
 from ..utils import checkpoint as ckpt_lib
-from ..utils.metrics_log import MetricsLogger
+from ..utils.metrics_log import MetricsLogger, snapshot_run
 from . import ave_train
 from .optim import count_params
 
@@ -122,6 +122,7 @@ def main(argv=None):
 
     mesh = M.make_mesh()
     logger = MetricsLogger(args.save_dir, run_name="ave", config=vars(args))
+    snapshot_run(args.save_dir, config=vars(args))
     best, stale = 0.0, 0
     for epoch in range(1, tcfg.epochs + 1):
         for i, batch in enumerate(ave_data.batched_iterator(

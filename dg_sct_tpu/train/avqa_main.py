@@ -31,7 +31,7 @@ from ..data import avqa as avqa_data
 from ..models import avqa as avqa_model
 from ..models import avqa_grounding
 from ..utils import checkpoint as ckpt_lib
-from ..utils.metrics_log import MetricsLogger
+from ..utils.metrics_log import MetricsLogger, snapshot_run
 from . import avqa_train, losses
 from .ave_train import merge_params, partition_params
 from .optim import count_params
@@ -217,6 +217,7 @@ def run_stage2(args, cfg, rng):
     step = avqa_train.make_train_step(cfg, tx, donate=False)
 
     logger = MetricsLogger(args.save_dir, run_name="avqa", config=vars(args))
+    snapshot_run(args.save_dir, config=vars(args))
     best, best_path, gstep = -1.0, None, 0
     for epoch in range(1, tcfg.epochs + 1):
         for batch in ave_data.batched_iterator(train_ds, tcfg.batch_size,

@@ -29,7 +29,7 @@ from ..data import ave as ave_data
 from ..data import avs as avs_data
 from ..models import avs as avs_model
 from ..utils import checkpoint as ckpt_lib
-from ..utils.metrics_log import MetricsLogger
+from ..utils.metrics_log import MetricsLogger, snapshot_run
 from . import avs_train
 from .metrics import f_measure, mask_iou
 from .optim import count_params
@@ -158,6 +158,7 @@ def main(argv=None, cfg: AVSModelConfig | None = None):
 
     logger = MetricsLogger(args.save_dir, run_name=f"avs_{args.task}",
                            config=vars(args))
+    snapshot_run(args.save_dir, config=vars(args))
     max_miou, stale, best_path, gstep = -1.0, 0, None, 0
     for epoch in range(1, tcfg.epochs + 1):
         for batch in ave_data.batched_iterator(train_ds, tcfg.batch_size,

@@ -27,7 +27,7 @@ from ..data import ave as ave_data
 from ..data import avvp as avvp_data
 from ..models import avvp as avvp_model
 from ..utils import checkpoint as ckpt_lib
-from ..utils.metrics_log import MetricsLogger
+from ..utils.metrics_log import MetricsLogger, snapshot_run
 from . import avvp_eval, avvp_train
 from .optim import count_params
 
@@ -137,6 +137,7 @@ def main(argv=None, cfg: AVVPModelConfig | None = None):
     step = avvp_train.make_train_step(cfg, tx, donate=False)
 
     logger = MetricsLogger(args.save_dir, run_name="avvp", config=vars(args))
+    snapshot_run(args.save_dir, config=vars(args))
     best_F, best_path = -1.0, None
     gstep = 0
     for epoch in range(1, tcfg.epochs + 1):

@@ -27,7 +27,7 @@ from ..data import ave as ave_data
 from ..data import vggsound as vgg_data
 from ..models import pretrain as PT
 from ..utils import checkpoint as ckpt_lib
-from ..utils.metrics_log import MetricsLogger
+from ..utils.metrics_log import MetricsLogger, snapshot_run
 from .pretrain_train import (make_pretrain_eval_step, make_pretrain_step,
                              partition_pretrain_params, weak_accuracy)
 
@@ -127,6 +127,7 @@ def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
     print(f"{len(train_ds)} train / {len(test_ds)} test clips, "
           f"{cfg.num_classes} classes")
     logger = MetricsLogger(args.save_dir, run_name="pretrain", config=vars(args))
+    snapshot_run(args.save_dir, config=vars(args))
     best, best_path, gstep = -1.0, None, 0
     for epoch in range(1, args.epochs + 1):
         for batch in ave_data.batched_iterator(train_ds, args.batch_size,
