@@ -190,3 +190,32 @@ def test_avvp_real_metadata():
     assert len(test_ids & set(ann_a)) > 0.8 * len(test_ids)
     for grid in list(ann_a.values())[:50]:
         assert grid.shape == (25, 10) and set(np.unique(grid)) <= {0, 1}
+
+
+def test_wav_to_wave_npy(tmp_path):
+    """wav -> loader-ready .npy: downmix, int->float scaling, resample to
+    32 kHz, tile/crop to clip length."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from dg_sct_tpu.data import preprocess as PP
+
+    t = np.linspace(0, 2.0, 2 * 16000, endpoint=False)
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    stereo = np.stack([tone, tone], axis=1)
+    wav = tmp_path / "x.wav"
+    wavfile.write(wav, 16000, stereo)
+
+    out = PP.wav_to_wave_npy(str(wav), str(tmp_path / "x.npy"), clip_seconds=10)
+    assert out.shape == (10 * PP.TARGET_SR,) and out.dtype == np.float32
+    assert np.abs(out).max() <= 1.0
+    # 2 s of content tiled to 10 s: the second 2-s block repeats the first
+    np.testing.assert_allclose(out[: 2 * PP.TARGET_SR],
+                               out[2 * PP.TARGET_SR: 4 * PP.TARGET_SR], atol=1e-6)
+    # resampled tone keeps its frequency: zero-crossing count ~ 440*2*2s
+    zc = np.sum(np.abs(np.diff(np.signbit(out[: 2 * PP.TARGET_SR]))))
+    assert abs(zc - 440 * 2 * 2) < 30
+    # loader consumes it directly
+    from dg_sct_tpu.data.ave import load_wave
+    wave = load_wave(str(tmp_path), "x")
+    assert wave.shape == (10, 32000)
