@@ -60,12 +60,12 @@ def wav_to_wave_npy(wav_path: str, npy_path: Optional[str] = None,
 
     in_sr, data = wavfile.read(wav_path)
     data = np.asarray(data)
-    if data.ndim == 2:                       # downmix
-        data = data.mean(axis=1)
-    if np.issubdtype(data.dtype, np.integer):
+    if np.issubdtype(data.dtype, np.integer):  # scale BEFORE any float promote
         data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
     else:
         data = data.astype(np.float32)
+    if data.ndim == 2:                         # downmix
+        data = data.mean(axis=1).astype(np.float32)
     if in_sr != sr:
         g = np.gcd(int(in_sr), int(sr))
         data = resample_poly(data, sr // g, in_sr // g).astype(np.float32)
