@@ -41,6 +41,15 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_data_mesh_for(batch_size: int, axis: str = DATA_AXIS) -> Mesh:
+    """1-D data mesh over the largest device count that divides `batch_size`
+    (uneven batch sharding is rejected by GSPMD)."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n, axis)
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) axis; replicate the rest."""
     return NamedSharding(mesh, P(axis))

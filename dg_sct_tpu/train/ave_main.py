@@ -57,9 +57,9 @@ def evaluate(eval_step, tr, fr, state, batches):
     return 100.0 * sum(accs) / max(n, 1)
 
 
-def main(argv=None):
+def main(argv=None, cfg: AVEModelConfig | None = None):
     args = parse_args(argv)
-    cfg = AVEModelConfig()
+    cfg = cfg or AVEModelConfig()
     tcfg = TrainConfig(batch_size=args.batch_size, accum_steps=args.accum,
                        lr=args.lr, epochs=args.epochs, seed=args.seed,
                        early_stop=args.early_stop)
@@ -92,7 +92,7 @@ def main(argv=None):
         for i in range(args.synthetic_steps):
             batch = ave_data.synthetic_batch(args.batch_size, seed=i)
             batch["mixup_lambda"] = np.random.RandomState(i).beta(
-                0.5, 0.5, size=(args.batch_size * 10,)).astype(np.float32)
+                0.5, 0.5, size=(args.batch_size * cfg.num_frames,)).astype(np.float32)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             t0 = time.time()
             tr, state, opt_state, m = step(tr, fr, state, opt_state, batch,
@@ -104,10 +104,11 @@ def main(argv=None):
         print(f"eval correct_frac={float(m['correct_frac']):.4f}")
         return
 
-    train_ds = ave_data.AVEDataset(args.meta, "train", frame_dir=args.frames,
-                                   audio_dir=args.audio)
-    test_ds = ave_data.AVEDataset(args.meta, "test", frame_dir=args.frames,
-                                  audio_dir=args.audio)
+    ds_kw = dict(frame_dir=args.frames, audio_dir=args.audio,
+                 img_size=cfg.swin.img_size, num_frames=cfg.num_frames,
+                 segment_samples=cfg.htsat.frontend.clip_samples)
+    train_ds = ave_data.AVEDataset(args.meta, "train", **ds_kw)
+    test_ds = ave_data.AVEDataset(args.meta, "test", **ds_kw)
     steps_per_epoch = len(train_ds) // tcfg.batch_size
     tx = ave_train.make_optimizer(tr, tcfg, steps_per_epoch=steps_per_epoch)
     opt_state = tx.init(tr)
@@ -120,7 +121,7 @@ def main(argv=None):
         print(f"val acc: {acc:.2f}")
         return
 
-    mesh = M.make_mesh()
+    mesh = M.make_data_mesh_for(tcfg.batch_size)
     logger = MetricsLogger(args.save_dir, run_name="ave", config=vars(args))
     snapshot_run(args.save_dir, config=vars(args))
     best, stale = 0.0, 0
@@ -128,7 +129,7 @@ def main(argv=None):
         for i, batch in enumerate(ave_data.batched_iterator(
                 train_ds, tcfg.batch_size, seed=tcfg.seed + epoch)):
             batch["mixup_lambda"] = np.random.beta(
-                0.5, 0.5, size=(batch["gt"].shape[0] * 10,)).astype(np.float32)
+                0.5, 0.5, size=(batch["gt"].shape[0] * cfg.num_frames,)).astype(np.float32)
             batch = M.shard_batch(batch, mesh)
             tr, state, opt_state, m = step(tr, fr, state, opt_state, batch,
                                            jax.random.fold_in(rng, epoch * 100000 + i))

@@ -47,6 +47,35 @@ def test_avvp_train_loop(tmp_path):
                for e in events)
 
 
+def test_ave_train_loop(tmp_path):
+    """The flagship AVE driver's real-data epoch/eval loop end-to-end: media
+    tree -> threaded loader -> mixup train steps -> accuracy eval -> best-ckpt
+    with full train state."""
+    from dg_sct_tpu.train import ave_main
+
+    root = str(tmp_path)
+    cfg = tiny_cfg()
+    cats = [f"cat{i:02d}" for i in range(28)]  # AVE's 28 fg classes (bg=28)
+    tree = media_tree.make_ave_tree(root, [f"av{i}" for i in range(4)], cats,
+                                    n_frames=3, img_size=cfg.swin.img_size,
+                                    wave_samples=2 * TINY_WAVE)
+    argv = ["--mode", "train", "--epochs", "1", "--batch-size", "2",
+            "--accum", "1", "--meta", root, "--frames", tree["frames"],
+            "--audio", tree["audio"], "--save-dir", os.path.join(root, "ckpt")]
+    ave_main.main(argv, cfg=cfg)
+    cks = [f for f in os.listdir(os.path.join(root, "ckpt"))
+           if f.startswith("best_") and f.endswith(".npz")]
+    assert cks, "best checkpoint not saved"
+    assert os.path.exists(os.path.join(root, "ckpt", "ave.metrics.jsonl"))
+    assert os.path.exists(os.path.join(root, "ckpt", "run_meta.json"))
+
+    # eval mode consumes the saved bundle
+    acc = None
+    out = ave_main.main(["--mode", "eval", "--meta", root,
+                         "--frames", tree["frames"], "--audio", tree["audio"],
+                         "--ckpt", os.path.join(root, "ckpt", cks[0])], cfg=cfg)
+
+
 def test_avs_ms3_train_loop(tmp_path):
     """MS3 real-data loop: all-frame masks + KL masked-AV loss composition."""
     from dg_sct_tpu.train import avs_main
