@@ -24,28 +24,18 @@ BENCH_E2E=0/1 (1), BENCH_PALLAS=0/1 (0).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
 
 import numpy as np
 
-V5E_PEAK_FLOPS = 197e12   # bf16
-V5E_PEAK_HBM = 819e9      # bytes/s
-
-
-def _timed(fn, inputs):
-    """Pipelined dispatch: enqueue every step (distinct pre-staged inputs),
-    then fetch every output. The device executes the steps back-to-back while
-    dispatch overlaps — one tunnel roundtrip total instead of one per step
-    (a real serving loop keeps the device fed the same way). Fetching all
-    outputs at the end still fences every execution."""
-    t0 = time.perf_counter()
-    outs = [fn(*args) for args in inputs]
-    outs = [np.asarray(o) for o in outs]
-    dt = time.perf_counter() - t0
-    assert all(np.isfinite(o).all() for o in outs)
-    return dt
+V5E_PEAK_FLOPS = 197e12   # bf16 nominal
+# Measured big-matmul ceiling through this tunnel (perf/peaks.py): ~85 TF/s
+# bf16 — 43% of nominal. `mfu_vs_achievable_pct` is MFU against this measured
+# machine ceiling; `mfu_pct` stays against the nominal spec.
+ACHIEVABLE_FLOPS = 85e12
 
 
 def bench_forward(cfg, params, state, B, M):
@@ -94,8 +84,11 @@ def bench_forward(cfg, params, state, B, M):
     clips_per_sec = B * M / dt
     waves, imgs = stacks[0]
 
-    # MFU/HBM from a SINGLE-step lower (the scan program's cost analysis
-    # counts the body once, not M times — per-step math breaks)
+    # MFU from a SINGLE-step lower (the scan program's cost analysis counts
+    # the body once, not M times — per-step math breaks). `bytes accessed` is
+    # NOT reported: XLA cost analysis counts logical bytes pre-fusion, which
+    # overestimates real HBM traffic (round-2 recorded an impossible 117% —
+    # see NOTES.md #2), so no HBM-utilization number is published.
     try:
         import jax
 
@@ -109,24 +102,27 @@ def bench_forward(cfg, params, state, B, M):
             ca = ca[0]
         step_s = dt / M
         mfu = 100.0 * ca.get("flops", 0) / step_s / V5E_PEAK_FLOPS
-        hbm = 100.0 * ca.get("bytes accessed", 0) / step_s / V5E_PEAK_HBM
+        mfu_ach = 100.0 * ca.get("flops", 0) / step_s / ACHIEVABLE_FLOPS
     except Exception:  # some remote-compile runtimes reject the AOT re-lower
-        mfu = hbm = float("nan")
-    return clips_per_sec, mfu, hbm
+        mfu = mfu_ach = float("nan")
+    return clips_per_sec, mfu, mfu_ach
 
 
 def bench_train(B, M):
     """Training-step throughput at full size (f32 params, bf16 compute):
     M full steps (fwd + bwd + Adam) chained in one jitted lax.scan with the
-    train state carried — same streaming methodology as the forward bench."""
+    train state carried and DONATED — same streaming methodology as the
+    forward bench. Remat policy via BENCH_REMAT=dots|full|none (default dots:
+    save matmul outputs, recompute elementwise — perf/remat_sweep.py)."""
     import jax
     import jax.numpy as jnp
     from dg_sct_tpu.configs import AVEModelConfig, TrainConfig
     from dg_sct_tpu.data import ave as ave_data
-    from dg_sct_tpu.models import ave
+    from dg_sct_tpu.models import ave, interleave
     from dg_sct_tpu.train import ave_train, losses
     import optax
 
+    interleave.set_remat_policy(os.environ.get("BENCH_REMAT", "dots"))
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):
         params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
@@ -147,7 +143,7 @@ def bench_train(B, M):
                for k, v in stacked.items()}
     rngs = jax.random.split(jax.random.PRNGKey(1), M)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
     def train_stream(tr, fr, state, opt_state, batches, rngs):
         def body(carry, x):
             tr, state, opt_state = carry
@@ -168,17 +164,36 @@ def bench_train(B, M):
 
         (tr, state, opt_state), ls = jax.lax.scan(
             body, (tr, state, opt_state), (batches, rngs))
-        return ls
+        return tr, state, opt_state, ls
 
     t0 = time.perf_counter()
-    ls = np.asarray(train_stream(tr, fr, state, opt_state, stacked, rngs))
+    tr, state, opt_state, ls = train_stream(tr, fr, state, opt_state,
+                                            stacked, rngs)
+    ls = np.asarray(ls)
     bench_train.compile_s = round(time.perf_counter() - t0, 1)
     assert np.isfinite(ls).all()
     t0 = time.perf_counter()
-    ls = np.asarray(train_stream(tr, fr, state, opt_state, stacked,
-                                 jax.random.split(jax.random.PRNGKey(2), M)))
+    tr, state, opt_state, ls = train_stream(
+        tr, fr, state, opt_state, stacked,
+        jax.random.split(jax.random.PRNGKey(2), M))
+    ls = np.asarray(ls)
     dt = time.perf_counter() - t0
     assert np.isfinite(ls).all()
+
+    # train MFU from the STREAM executable's cost analysis. XLA counts a
+    # scan/while body ONCE regardless of trip count (same behavior the forward
+    # bench works around), so the reported flops ~= one train step's flops and
+    # divide by the per-step time dt/M. AOT re-lower hits the in-process
+    # compile cache — no second tunnel compile.
+    try:
+        ca = train_stream.lower(tr, fr, state, opt_state, stacked, rngs) \
+            .compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        bench_train.mfu_pct = round(
+            100.0 * ca.get("flops", 0) / (dt / M) / V5E_PEAK_FLOPS, 2)
+    except Exception:
+        bench_train.mfu_pct = None
     return B * M / dt
 
 
@@ -271,12 +286,12 @@ def main():
 
     if os.environ.get("BENCH_FWD", "1") == "1":
         try:
-            clips_per_sec, mfu, hbm = bench_forward(cfg, params, state, B, M)
+            clips_per_sec, mfu, mfu_ach = bench_forward(cfg, params, state, B, M)
         except Exception:
             W.set_pallas(False)
-            clips_per_sec, mfu, hbm = bench_forward(cfg, params, state, B, M)
+            clips_per_sec, mfu, mfu_ach = bench_forward(cfg, params, state, B, M)
     else:
-        clips_per_sec = mfu = hbm = float("nan")
+        clips_per_sec = mfu = mfu_ach = float("nan")
 
     import math
     result = {
@@ -285,7 +300,7 @@ def main():
         "unit": "clip/s",
         "vs_baseline": round(clips_per_sec / (500.0 / 8.0), 3),
         "mfu_pct": round(mfu, 2),
-        "hbm_util_pct": round(hbm, 2),
+        "mfu_vs_achievable_pct": round(mfu_ach, 2),
         "compile_s": getattr(bench_forward, "compile_s", None),
     }
     result = {k: v for k, v in result.items()
@@ -305,6 +320,8 @@ def main():
             result["train_clips_per_sec"] = round(
                 bench_train(int(os.environ.get("BENCH_TRAIN_BATCH", "4")), 4), 2)
             result["train_compile_s"] = getattr(bench_train, "compile_s", None)
+            if getattr(bench_train, "mfu_pct", None) is not None:
+                result["train_mfu_pct"] = bench_train.mfu_pct
         except Exception as e:
             result["train_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(result))

@@ -47,6 +47,31 @@ def set_scan(enabled: bool, min_pairs: int = 2) -> None:
     SCAN_MIN_PAIRS = min_pairs
 
 
+# Selective rematerialization policy for the per-block checkpoint under
+# training (perf/remat_sweep.py measures the trade):
+#   "full"  — recompute everything in backward (min HBM, max recompute FLOPs);
+#   "dots"  — save matmul outputs, recompute elementwise/norms (the classic
+#             selective-remat sweet spot: backward skips the expensive GEMM
+#             recompute but activation HBM stays bounded);
+#   "none"  — store all activations (max HBM, no recompute).
+REMAT_POLICY = "dots"
+
+
+def set_remat_policy(policy: str) -> None:
+    global REMAT_POLICY
+    assert policy in ("full", "dots", "none")
+    REMAT_POLICY = policy
+
+
+def _remat(fn):
+    if REMAT_POLICY == "none":
+        return fn
+    if REMAT_POLICY == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return jax.checkpoint(fn)
+
+
 def _tree_stack(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
@@ -198,11 +223,11 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
     def make_paired(vmeta, ameta):
         fn = lambda bp, bs, fv, fa, br: paired_step_impl(bp, bs, fv, fa, br,
                                                          vmeta, ameta)
-        return jax.checkpoint(fn) if train else fn
+        return _remat(fn) if train else fn
 
     def make_plain(vmeta):
         fn = lambda vp, fv, br: S.block(vp, fv, vmeta, train=train, rng=br)
-        return jax.checkpoint(fn) if train else fn
+        return _remat(fn) if train else fn
 
     tower_rng = rngs.get("towers") if train else None
     blk_counter = 0
@@ -270,7 +295,7 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
                     maps = (am, vm)
             return (f_v, f_a), (tuple(new_states), maps)
 
-        body_fn = jax.checkpoint(body) if train else body
+        body_fn = _remat(body) if train else body
         xs = (jnp.arange(n_pairs), stacked)
         (f_v, f_a), (st_states, st_maps) = jax.lax.scan(body_fn, (f_v, f_a), xs)
 

@@ -74,14 +74,11 @@ def main(argv=None, cfg: AVEModelConfig | None = None):
     print(f"####### Total params in M: {total / 1e6:.1f} M #######")
 
     if args.ckpt:
-        loaded = ckpt_lib.load_params(args.ckpt)
-        if "params" in loaded:
-            loaded_params = loaded["params"]
-            state = ckpt_lib.restore_structure(state, loaded.get("state", state))
-        else:
-            loaded_params = loaded
-        tr, fr = ave_train.partition_params(
-            ckpt_lib.restore_structure(params, loaded_params))
+        lp, ls = ckpt_lib.load_params_and_state(args.ckpt)
+        params = ckpt_lib.restore_structure(params, lp)
+        if ls is not None:
+            state = ckpt_lib.restore_structure(state, ls)
+        tr, fr = ave_train.partition_params(params)
 
     if args.mode == "smoke":
         # synthetic end-to-end smoke: a couple of train steps + one eval
@@ -140,7 +137,7 @@ def main(argv=None, cfg: AVEModelConfig | None = None):
         acc = evaluate(estep, tr, fr, state,
                        ave_data.batched_iterator(test_ds, tcfg.batch_size, shuffle=False))
         print(f"epoch {epoch}: val acc {acc:.2f}")
-        logger.log({"acc": acc}, step=(epoch + 1) * steps_per_epoch, prefix="val/")
+        logger.log({"acc": acc}, step=epoch * steps_per_epoch, prefix="val/")
         if acc >= best:
             best, stale = acc, 0
             os.makedirs(args.save_dir, exist_ok=True)

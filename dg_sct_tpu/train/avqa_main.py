@@ -78,7 +78,16 @@ def make_dataset(args, split_json, cfg: AVQAModelConfig, seed=0):
 
 
 def _json_path(args, name, override):
-    return override or os.path.join(args.meta, f"avqa-{name}.json")
+    if override:
+        return override
+    # The shipped reference metadata keeps the splits under <meta>/json/
+    # (AVQA/net_grd_avst/main_avst.py defaults); probe both layouts, matching
+    # the AVQADataset vocab fallback.
+    for cand in (os.path.join(args.meta, "json", f"avqa-{name}.json"),
+                 os.path.join(args.meta, f"avqa-{name}.json")):
+        if os.path.exists(cand):
+            return cand
+    return os.path.join(args.meta, f"avqa-{name}.json")
 
 
 def feed_of(batch):
