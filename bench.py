@@ -199,19 +199,27 @@ def bench_train(B, M):
 
 def bench_e2e(cfg, params, state, B, M):
     """Host pipeline -> device: decode a synthetic JPEG tree via the native IO
-    core + threaded batched_iterator, overlapping the device forward."""
+    core + threaded batched_iterator, overlapping the device forward.
+
+    Serving ingest path: DCT-scaled decode to uint8 on the host, ImageNet
+    normalize fused on-device (`normalize_frames_u8`) — the host does the
+    minimum work per frame (decode+resize) and ships 4x fewer bytes. On a
+    1-core host this path is still decode-bound; perf/decode_scaling.py
+    records the measured per-clip decode cost and worker-scaling curve."""
     import tempfile
 
     import jax
     import jax.numpy as jnp
     from dg_sct_tpu.data import ave as ave_data
     from dg_sct_tpu.models import ave
+    from dg_sct_tpu.ops.basic import normalize_frames_u8
 
     @jax.jit
-    def fwd(params, state, wave, images):
+    def fwd(params, state, wave, images_u8):
+        images = normalize_frames_u8(images_u8)
         out, _ = ave.forward(params, state,
                              wave.astype(jnp.bfloat16),
-                             images.astype(jnp.bfloat16), cfg, train=False)
+                             images, cfg, train=False)
         return out["event_scores"]
 
     tmp = tempfile.mkdtemp(prefix="dg_sct_bench_")
@@ -225,12 +233,13 @@ def bench_e2e(cfg, params, state, B, M):
                          wave_samples=10 * cfg.htsat.frontend.clip_samples)
     ds = ave_data.AVEDataset(tmp, "train", frame_dir=tree["frames"],
                              audio_dir=tree["audio"],
-                             img_size=cfg.swin.img_size)
+                             img_size=cfg.swin.img_size, raw_u8=True)
 
     # warm compile with one synthetic batch
     b0 = ave_data.synthetic_batch(B)
+    imgs_u8 = (b0["image"] * 255).astype(np.uint8)
     _ = np.asarray(fwd(params, state, jnp.asarray(b0["wave"]),
-                       jnp.asarray(b0["image"])))
+                       jnp.asarray(imgs_u8)))
 
     n = 0
     pending = None

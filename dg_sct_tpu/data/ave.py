@@ -72,12 +72,15 @@ def resize_bicubic(img: np.ndarray, size: int) -> np.ndarray:
 
 
 def load_frames(frame_dir: str, video_id: str, num_frames=NUM_SEGMENTS,
-                img_size=192) -> np.ndarray:
-    """Sample `num_frames` jpgs with np.linspace (dataloader.py:162-171);
-    returns (T, H, W, 3) float32 normalized.
+                img_size=192, raw_u8=False) -> np.ndarray:
+    """Sample `num_frames` jpgs with np.linspace (dataloader.py:162-171).
 
-    Uses the native C++ decode+resize core when available (parallel libjpeg +
-    PIL-compatible antialiased bicubic), PIL otherwise."""
+    Default: (T, H, W, 3) float32 ImageNet-normalized (bit-parity with the
+    reference's PIL+Normalize pipeline), via the native C++ decode+resize core
+    when available. With `raw_u8=True`, the fast serving path: DCT-scaled
+    decode to (T, H, W, 3) uint8 — normalization happens on-device
+    (`ops.basic.normalize_frames_u8`), minimizing single-core host cost and
+    host->device bytes."""
     vdir = os.path.join(frame_dir, video_id)
     files = sorted(f for f in os.listdir(vdir) if f.endswith((".jpg", ".png")))
     idxs = np.linspace(0, len(files) - 1, num_frames).astype(int)
@@ -85,14 +88,20 @@ def load_frames(frame_dir: str, video_id: str, num_frames=NUM_SEGMENTS,
 
     from .. import native
     if native.available() and all(p.endswith(".jpg") for p in paths):
+        if raw_u8:
+            return native.load_jpeg_batch_u8(paths, img_size)
         return native.load_jpeg_batch(paths, img_size, IMAGENET_MEAN, IMAGENET_STD)
 
     from PIL import Image
     frames = []
     for p in paths:
         img = np.asarray(Image.open(p).convert("RGB"))
-        img = resize_bicubic(img, img_size).astype(np.float32) / 255.0
-        frames.append((img - IMAGENET_MEAN) / IMAGENET_STD)
+        img = resize_bicubic(img, img_size)
+        if raw_u8:
+            frames.append(img.astype(np.uint8))
+        else:
+            img = img.astype(np.float32) / 255.0
+            frames.append((img - IMAGENET_MEAN) / IMAGENET_STD)
     return np.stack(frames)
 
 
@@ -112,7 +121,8 @@ class AVEDataset:
 
     def __init__(self, root: str, split: str = "train", img_size: int = 192,
                  frame_dir: Optional[str] = None, audio_dir: Optional[str] = None,
-                 num_frames: int = NUM_SEGMENTS, segment_samples: int = SAMPLE_RATE):
+                 num_frames: int = NUM_SEGMENTS, segment_samples: int = SAMPLE_RATE,
+                 raw_u8: bool = False):
         meta = os.path.join(root, "data", "AVE") if os.path.isdir(
             os.path.join(root, "data", "AVE")) else root
         self.categories = load_categories(os.path.join(meta, "categories.txt"))
@@ -126,6 +136,7 @@ class AVEDataset:
         self.img_size = img_size
         self.num_frames = num_frames
         self.segment_samples = segment_samples
+        self.raw_u8 = raw_u8
 
     def __len__(self):
         return len(self.ids)
@@ -137,7 +148,7 @@ class AVEDataset:
             gt = gt[np.linspace(0, gt.shape[0] - 1, self.num_frames).astype(int)]
         return {
             "image": load_frames(self.frame_dir, vid, self.num_frames,
-                                 img_size=self.img_size),
+                                 img_size=self.img_size, raw_u8=self.raw_u8),
             "wave": load_wave(self.audio_dir, vid, self.num_frames,
                               self.segment_samples),
             "GT": gt,

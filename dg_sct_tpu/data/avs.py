@@ -33,15 +33,34 @@ def load_mask(path: str, size: int = 224) -> np.ndarray:
     return (np.asarray(m) > 0).astype(np.float32)[..., None]
 
 
+def load_audio_log_mel(path: str) -> np.ndarray:
+    """The reference loaders' precomputed VGGish log-mel pkl field
+    (`avs_s4/dataloader.py:53-57`): a pickled torch tensor [5, 1, 96, 64].
+    Dead on the reference's live path (the model consumes raw wave) —
+    interface completeness only. Returns float32 numpy."""
+    import pickle
+    with open(path, "rb") as f:
+        t = pickle.load(f)
+    if hasattr(t, "detach"):  # torch tensor pickle
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
 class S4Dataset:
     """Expects the AVSBench directory layout:
     `<root>/visual_frames/<split>/<category>/<video>/*.png` (or .jpg),
     `<root>/gt_masks/<split>/<category>/<video>/*.png`,
-    `<root>/audio_wav/<video>.npy` (dict or array of waveforms)."""
+    `<root>/audio_wav/<video>.npy` (dict or array of waveforms).
+
+    `with_log_mel=True` additionally loads the reference's
+    `<root>/audio_log_mel/<split>/<category>/<video>.pkl` field (and computes
+    the Kaldi-fbank `total_audio` stack via `data.fbank.wav2fbank` —
+    dataloader.py:176-182) for pipelines that consume them."""
 
     def __init__(self, root: str, split: str = "train", mask_num: int = 1,
                  img_size: int = 224, num_frames: int = NUM_FRAMES,
-                 segment_samples: int = SR):
+                 segment_samples: int = SR, with_log_mel: bool = False):
+        self.with_log_mel = with_log_mel
         self.root = root
         self.split = split
         self.mask_num = mask_num  # S4 train: 1; val/test + MS3: 5
@@ -77,8 +96,19 @@ class S4Dataset:
         if len(wave) < need:
             wave = np.tile(wave, need // max(len(wave), 1) + 1)
         wave = wave[:need].reshape(self.num_frames, self.segment_samples)
-        return {"image": imgs, "mask": np.stack(masks), "wave": wave,
-                "category": cat, "video": vid}
+        out = {"image": imgs, "mask": np.stack(masks), "wave": wave,
+               "category": cat, "video": vid}
+        if self.with_log_mel:
+            from .fbank import wav2fbank
+            lm_path = os.path.join(self.root, "audio_log_mel", self.split,
+                                   cat, f"{vid}.pkl")
+            if os.path.exists(lm_path):
+                out["audio_log_mel"] = load_audio_log_mel(lm_path)
+            flat = wave.reshape(-1)
+            out["total_audio"] = np.stack(
+                [wav2fbank(flat, idx=s, sample_rate=self.segment_samples)
+                 for s in range(self.num_frames)])
+        return out
 
 
 def synthetic_batch(batch_size: int, *, img_size=224, seed=0, mask_frames=1):

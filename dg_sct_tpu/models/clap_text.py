@@ -7,19 +7,21 @@ loads all weights from the `630k-audioset-fusion-best.pt` CLAP checkpoint
 (key prefixes `text_branch.`, `text_projection.`; a `text_transform` MLP is
 loaded but unused by the forward — prompt_learner.py:91-92,100-106).
 
-This module runs host-side at model-build time (the features are a static
-buffer). Architecture comes from `transformers.RobertaModel` with an offline-
-constructible `RobertaConfig` — so shapes/structure are exact today; weights
-come from `load_clap_text_state` when the checkpoint exists, deterministic
-random init otherwise. Tokenization uses the real RobertaTokenizer when its
-assets are present, else a documented byte-level fallback (placeholder until
-the BPE assets ship with the checkpoint).
+The encoder itself is the JAX-native RoBERTa in `models/roberta.py` (parity
+vs `transformers.RobertaModel` in `tests/test_third_party_parity.py`), so the
+text tower runs on-device like every other tower; weights come from the CLAP
+checkpoint's `text_branch.*` keys when present, deterministic random init
+otherwise. Tokenization uses the real RobertaTokenizer when its assets are
+present, else a documented byte-level fallback (placeholder until the BPE
+assets ship with the checkpoint).
 """
 from __future__ import annotations
 
 from typing import Dict, Optional, Sequence
 
 import numpy as np
+
+from . import roberta as R
 
 PROMPT = "The sounds of "
 MAX_LEN = 77
@@ -38,35 +40,6 @@ def split_clap_text_state(state_dict: Dict[str, "object"]):
 
     return (strip("text_branch."), strip("text_transform."),
             strip("text_projection."))
-
-
-def _build_roberta(text_branch_state=None, seed: int = 0):
-    import torch
-    from transformers import RobertaConfig, RobertaModel
-
-    cfg = RobertaConfig()  # roberta-base dims: 12 layers, 768 hidden, 50265 vocab
-    torch.manual_seed(seed)
-    model = RobertaModel(cfg)
-    if text_branch_state is not None:
-        model.load_state_dict({k: torch.as_tensor(np.asarray(v))
-                               for k, v in text_branch_state.items()},
-                              strict=False)
-    return model.eval()
-
-
-def _build_projection(text_projection_state=None, seed: int = 0):
-    import torch
-
-    torch.manual_seed(seed + 1)
-    proj = torch.nn.Sequential(
-        torch.nn.Linear(ROBERTA_HIDDEN, CLAP_EMBED),
-        torch.nn.ReLU(),
-        torch.nn.Linear(CLAP_EMBED, CLAP_EMBED),
-    )
-    if text_projection_state is not None:
-        proj.load_state_dict({k: torch.as_tensor(np.asarray(v))
-                              for k, v in text_projection_state.items()})
-    return proj.eval()
 
 
 def _tokenize(texts: Sequence[str], vocab_size: int):
@@ -97,18 +70,20 @@ def compute_clap_text_features(classnames, *, weak=True,
     """(n_cls[+1], 512) CLAP text features for `clap_matching`
     (net_trans.py:788-795). `weak=False` appends a 'background' class
     (prompt_learner.py:81-83). Pass the raw CLAP checkpoint state dict via
-    `clap_state_dict` to run with real weights."""
-    import torch
+    `clap_state_dict` to run with real weights. Runs the JAX-native RoBERTa
+    (`models/roberta.py`) — device-placed under the ambient jax config."""
+    import jax
 
     names = list(classnames) + ([] if weak else ["background"])
-    branch_state = proj_state = None
     if clap_state_dict is not None:
         branch_state, _, proj_state = split_clap_text_state(clap_state_dict)
-    model = _build_roberta(branch_state, seed)
-    proj = _build_projection(proj_state, seed)
-    ids, mask = _tokenize([PROMPT + n for n in names], model.config.vocab_size)
-    with torch.no_grad():
-        pooled = model(input_ids=torch.from_numpy(ids),
-                       attention_mask=torch.from_numpy(mask))["pooler_output"]
-        feats = proj(pooled)
-    return feats.numpy().astype(np.float32)
+        params = R.roberta_from_torch(branch_state)
+        proj = R.projection_from_torch(proj_state)
+    else:
+        params = R.init_roberta(jax.random.PRNGKey(seed))
+        proj = R.init_text_projection(jax.random.PRNGKey(seed + 1))
+    ids, mask = _tokenize([PROMPT + n for n in names], R.VOCAB)
+    _, pooled = R.roberta_encode(params, ids.astype(np.int32),
+                                 mask.astype(np.int32))
+    feats = R.text_projection(proj, pooled)
+    return np.asarray(feats, np.float32)

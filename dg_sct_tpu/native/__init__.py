@@ -53,6 +53,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.dgsct_decode_jpeg_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.dgsct_load_jpeg_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     _lib = lib
     return lib
 
@@ -79,6 +85,25 @@ def resize_normalize(img: np.ndarray, out_size: int, mean, std) -> np.ndarray:
         img.shape[0], img.shape[1], _fptr(dst), out_size, _fptr(mean), _fptr(std))
     if rc != 0:
         raise RuntimeError("native resize failed")
+    return dst
+
+
+def load_jpeg_batch_u8(paths: Sequence[str], out_size: int) -> np.ndarray:
+    """Fast serving path: parallel DCT-scaled decode + antialiased resize ->
+    (n, out, out, 3) uint8. The JPEG is decoded at the smallest m/8 scale that
+    still covers `out_size` (IDCT cost drops ~quadratically), and
+    normalization is left to the device (`ops.basic.normalize_frames_u8`) —
+    together this cuts single-core host cost per frame by ~2-3x vs the float
+    path and quarters the host->device bytes."""
+    lib = _load()
+    assert lib is not None
+    n = len(paths)
+    dst = np.empty((n, out_size, out_size, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.dgsct_load_jpeg_batch_u8(
+        arr, n, dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_size)
+    if rc != 0:
+        raise RuntimeError("native jpeg u8 batch load failed")
     return dst
 
 

@@ -114,8 +114,12 @@ void resize_bicubic(const uint8_t* src, int h, int w, float* dst, int out) {
   }
 }
 
+// target > 0 enables DCT-domain scaled decoding: pick the smallest m/8 scale
+// whose output still covers `target` on the short side, so the IDCT + color
+// conversion run at a fraction of full-resolution cost (the dominant host
+// cost per frame). target <= 0 decodes at full size (bit-parity path).
 bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
-                 int* h, int* w) {
+                 int* h, int* w, int target = 0) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -128,6 +132,13 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (target > 0) {
+    const int short_side = std::min<int>(cinfo.image_height, cinfo.image_width);
+    int m = 8;
+    while (m > 1 && (short_side * (m - 1)) / 8 >= target) --m;
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   *h = cinfo.output_height;
   *w = cinfo.output_width;
@@ -139,6 +150,16 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return true;
+}
+
+// Same separable antialiased resize, storing rounded uint8 (the device
+// normalizes; shipping uint8 quarters the host->device transfer).
+void resize_bicubic_u8(const uint8_t* src, int h, int w, uint8_t* dst, int out) {
+  std::vector<float> tmp(static_cast<size_t>(out) * out * 3);
+  resize_bicubic(src, h, w, tmp.data(), out);
+  for (size_t i = 0; i < tmp.size(); ++i)
+    dst[i] = static_cast<uint8_t>(
+        std::min(255.0f, std::max(0.0f, std::round(tmp[i]))));
 }
 
 }  // namespace
@@ -166,6 +187,46 @@ int dgsct_decode_jpeg(const uint8_t* data, long len, float* dst, int out,
   int h = 0, w = 0;
   if (!decode_jpeg(data, static_cast<size_t>(len), &rgb, &h, &w)) return -1;
   return dgsct_resize_normalize(rgb.data(), h, w, dst, out, mean, std_);
+}
+
+// Fast serving path: DCT-scaled decode + antialiased resize to uint8.
+// dst: (out, out, 3) uint8. Normalization happens on-device (an XLA prologue
+// fused into the first conv), so the host does the minimum work per frame.
+int dgsct_decode_jpeg_u8(const uint8_t* data, long len, uint8_t* dst, int out) {
+  std::vector<uint8_t> rgb;
+  int h = 0, w = 0;
+  if (!decode_jpeg(data, static_cast<size_t>(len), &rgb, &h, &w, out))
+    return -1;
+  resize_bicubic_u8(rgb.data(), h, w, dst, out);
+  return 0;
+}
+
+// Batched uint8 loader: (n, out, out, 3) uint8, parallel over files.
+int dgsct_load_jpeg_batch_u8(const char** paths, int n, uint8_t* dst, int out) {
+  int status = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    FILE* f = fopen(paths[i], "rb");
+    if (!f) {
+#pragma omp atomic write
+      status = -1;
+      continue;
+    }
+    fseek(f, 0, SEEK_END);
+    long len = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(len);
+    size_t got = fread(buf.data(), 1, len, f);
+    fclose(f);
+    if (static_cast<long>(got) != len ||
+        dgsct_decode_jpeg_u8(buf.data(), len,
+                             dst + static_cast<size_t>(i) * out * out * 3,
+                             out) != 0) {
+#pragma omp atomic write
+      status = -1;
+    }
+  }
+  return status;
 }
 
 // Batched file loader: decode `n` JPEG files into (n, out, out, 3) float32,

@@ -226,3 +226,24 @@ def drop_path(rng, x, rate, train):
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
     return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# on-device image preprocessing (the serving/e2e ingest prologue)
+# ---------------------------------------------------------------------------
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_frames_u8(frames, dtype=jnp.bfloat16,
+                        mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """uint8 (..., H, W, 3) frames -> normalized `dtype` on device.
+
+    The serving ingest prologue: hosts ship raw uint8 (4x fewer PCIe bytes
+    than float32) and XLA fuses this cast/scale/shift into the first conv —
+    replacing the reference's host-side torchvision Normalize
+    (DG-SCT/AVE/dataloader.py:61-64)."""
+    m = jnp.asarray(mean, jnp.float32) * 255.0
+    s = jnp.asarray(std, jnp.float32) * 255.0
+    return ((frames.astype(jnp.float32) - m) / s).astype(dtype)

@@ -104,10 +104,17 @@ def make_mesh_2d(data: int, model: int) -> Mesh:
 
 
 def tp_param_spec(path, leaf, model_size: int):
-    """Megatron-style sharding rule for a param leaf: MLP fc1 column-split /
-    fc2 row-split over the model axis (the all-reduce lands after fc2, where
-    GSPMD inserts it); everything else replicated. Only applies when the
-    relevant dim divides the model axis."""
+    """Megatron-style sharding rule for a param leaf over the model axis;
+    everything not matched is replicated, and a rule only applies when the
+    relevant dim divides the model axis.
+
+      * MLP: fc1 column-split (+ fc1 bias), fc2 row-split — the all-reduce
+        lands after fc2, where GSPMD inserts it;
+      * window attention: qkv column-split, proj row-split — the pair brackets
+        the attention the same way (one all-reduce after proj);
+      * adapter bottleneck (grouped 1x1 convs, kernel (g, in/g, out/g)):
+        group-axis split — block-diagonal, so the split is fully local.
+    """
     keys = [p.key for p in path if hasattr(p, "key")]
     if leaf.ndim == 2 and "mlp" in keys and "kernel" in keys:
         if "fc1" in keys and leaf.shape[1] % model_size == 0:
@@ -117,6 +124,14 @@ def tp_param_spec(path, leaf, model_size: int):
     if leaf.ndim == 1 and "mlp" in keys and "fc1" in keys and "bias" in keys \
             and leaf.shape[0] % model_size == 0:
         return P(MODEL_AXIS)
+    if leaf.ndim == 2 and "kernel" in keys:
+        if "qkv" in keys and leaf.shape[1] % model_size == 0:
+            return P(None, MODEL_AXIS)            # column parallel (q|k|v cols)
+        if "proj" in keys and "attn" in keys and leaf.shape[0] % model_size == 0:
+            return P(MODEL_AXIS, None)            # row parallel
+    if leaf.ndim == 3 and "kernel" in keys and ("down" in keys or "up" in keys) \
+            and leaf.shape[0] % model_size == 0:
+        return P(MODEL_AXIS, None, None)          # adapter grouped-conv groups
     return P()
 
 

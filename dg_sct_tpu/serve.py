@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from .configs import AVEModelConfig
 from .models import ave
+from .ops.basic import normalize_frames_u8
 
 
 class AVEInferenceEngine:
@@ -52,6 +53,8 @@ class AVEInferenceEngine:
         def stream_fn(params, state, waves, imgs):
             def body(carry, wi):
                 w, im = wi
+                if im.dtype == jnp.uint8:  # serving ingest: uint8 frames,
+                    im = normalize_frames_u8(im, compute_dtype)  # on-device norm
                 out, _ = ave.forward(params, state, w, im, cfg, train=False)
                 return carry, {k: out[k].astype(jnp.float32)
                                for k in ("event_scores", "is_event_scores")}
@@ -96,9 +99,11 @@ class AVEInferenceEngine:
         current chunk's device execution (1-deep software pipeline)."""
         pending: Optional[tuple] = None
         for waves, imgs, ids in self._chunk_batches(dataset):
+            imgs_dev = jnp.asarray(imgs)
+            if imgs_dev.dtype != jnp.uint8:  # uint8 stays raw: device norm
+                imgs_dev = imgs_dev.astype(self.dtype)
             fut = self._fn(self.params, self.state,
-                           jnp.asarray(waves).astype(self.dtype),
-                           jnp.asarray(imgs).astype(self.dtype))
+                           jnp.asarray(waves).astype(self.dtype), imgs_dev)
             if pending is not None:
                 yield self._finish(pending)
             pending = (fut, ids)

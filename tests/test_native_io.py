@@ -56,3 +56,35 @@ def test_jpeg_batch(tmp_path):
     img = np.asarray(Image.open(paths[0]).convert("RGB"))
     ref = _pil_ref(img, 192)
     assert np.abs(batch[0] - ref).mean() < 0.02
+
+
+def test_jpeg_batch_u8(tmp_path):
+    """The fast uint8 path (DCT-scaled decode + device-side normalize) must
+    agree with the float path after on-host normalization — small pixel
+    deviation allowed (decode runs at m/8 DCT scale before the resize)."""
+    from PIL import Image
+    rs = np.random.RandomState(3)
+    paths = []
+    for i in range(4):
+        # smooth image: DCT-scaled decode differences stay small
+        base = rs.rand(20, 30, 3)
+        img = np.asarray(Image.fromarray(
+            (base * 255).astype(np.uint8)).resize((480, 320), Image.BICUBIC))
+        p = str(tmp_path / f"g{i}.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(p)
+    u8 = native.load_jpeg_batch_u8(paths, 192)
+    assert u8.shape == (4, 192, 192, 3) and u8.dtype == np.uint8
+    ref = native.load_jpeg_batch(paths, 192, MEAN, STD)
+    ours = (u8.astype(np.float32) / 255.0 - MEAN) / STD
+    assert np.abs(ours - ref).mean() < 0.05
+
+
+def test_normalize_frames_u8_matches_host():
+    import jax.numpy as jnp
+    from dg_sct_tpu.ops.basic import normalize_frames_u8
+    rs = np.random.RandomState(4)
+    u8 = (rs.rand(2, 8, 8, 3) * 255).astype(np.uint8)
+    dev = np.asarray(normalize_frames_u8(jnp.asarray(u8), dtype=jnp.float32))
+    host = (u8.astype(np.float32) / 255.0 - MEAN) / STD
+    np.testing.assert_allclose(dev, host, atol=1e-5)

@@ -110,3 +110,61 @@ def test_2d_mesh_tensor_parallel_eval_matches():
     np.testing.assert_allclose(np.asarray(single["outputs"]["event_scores"]),
                                np.asarray(sharded["outputs"]["event_scores"]),
                                atol=1e-4)
+
+
+def test_tp_spec_covers_attention_and_adapters():
+    """Round-2 TP sharded only the MLP; the rule now covers window-attention
+    qkv (column) / proj (row) and the adapter grouped bottleneck convs."""
+    cfg = tiny_cfg()
+    params, _ = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    specs = jax.tree_util.tree_map_with_path(
+        lambda p, l: (tuple(k.key for k in p if hasattr(k, "key")),
+                      str(M.tp_param_spec(p, l, 2))), params)
+    flat = jax.tree_util.tree_leaves(specs, is_leaf=lambda x: isinstance(x, tuple))
+    def sharded(name):
+        return any(name in keys and "model" in spec for keys, spec in flat)
+    assert sharded("qkv"), "attention qkv not model-sharded"
+    assert sharded("proj"), "attention proj not model-sharded"
+    assert sharded("down") and sharded("up"), "adapter bottleneck not sharded"
+    assert sharded("fc1") and sharded("fc2"), "mlp not sharded"
+
+
+def test_2d_mesh_collectives_in_hlo():
+    """The compiled HLO of the TP eval step must actually contain all-reduces
+    over the model axis (GSPMD inserted them where the row-parallel halves
+    end) — guards against a silently-replicated 'TP' path."""
+    cfg = tiny_cfg()
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    tr, fr = ave_train.partition_params(params)
+
+    B = 8
+    rs = np.random.RandomState(1)
+    gt = np.zeros((B, cfg.num_frames, 29), np.float32)
+    gt[:, :, 2] = 1.0
+    batch = {
+        "wave": jnp.asarray(rs.randn(B, cfg.num_frames,
+                                     cfg.htsat.frontend.clip_samples).astype(np.float32)),
+        "image": jnp.asarray(rs.rand(B, cfg.num_frames, 64, 64, 3).astype(np.float32)),
+        "gt": jnp.asarray(gt),
+    }
+    m2 = M.make_mesh_2d(4, 2)
+    tr_s = M.tp_shard_params(tr, m2)
+    fr_s = M.tp_shard_params(fr, m2)
+    rep = jax.sharding.NamedSharding(m2, jax.sharding.PartitionSpec())
+    state_r = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    batch_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+            m2, jax.sharding.PartitionSpec("data"))), batch)
+
+    def eval_fn(tr, fr, state, batch):
+        out, _ = ave.forward(ave_train.merge_params(tr, fr), state,
+                             batch["wave"], batch["image"], cfg, train=False)
+        return out["event_scores"]
+
+    compiled = jax.jit(eval_fn).lower(tr_s, fr_s, state_r, batch_s).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo or "all-gather" in hlo, \
+        "no cross-device collectives in the TP program"
+    # grad-free eval with row-parallel fc2/proj must produce partial-sum
+    # all-reduces, not just batch-axis gathers
+    assert "all-reduce" in hlo

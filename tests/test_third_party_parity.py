@@ -238,3 +238,53 @@ def test_htsat_patch_merging_matches_transformers_clap():
         ref = m(torch.from_numpy(x), res).numpy()
     ours = np.asarray(H.patch_merging(params, jnp.asarray(x), res))
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_roberta_matches_transformers():
+    """JAX-native RoBERTa (the CLAP text tower, models/roberta.py) end-to-end
+    vs `transformers.RobertaModel` with shared random weights — last hidden
+    state AND tanh pooler, padded batch."""
+    from transformers import RobertaConfig, RobertaModel
+    from dg_sct_tpu.models import roberta as R
+
+    tcfg = RobertaConfig(vocab_size=211, hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=4, intermediate_size=64,
+                         max_position_embeddings=40, pad_token_id=1,
+                         layer_norm_eps=1e-5)  # roberta-base's released eps
+    torch.manual_seed(0)
+    model = RobertaModel(tcfg).eval()
+    params = R.roberta_from_torch(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()})
+
+    rs = np.random.RandomState(0)
+    B, L = 3, 11
+    ids = rs.randint(3, 211, size=(B, L)).astype(np.int64)
+    mask = np.ones((B, L), np.int64)
+    ids[1, 7:], mask[1, 7:] = 1, 0        # padded row
+    ids[:, 0] = 0                          # <s>
+
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(mask))
+    hidden, pooled = R.roberta_encode(params, jnp.asarray(ids, jnp.int32),
+                                      jnp.asarray(mask, jnp.int32), heads=4)
+    np.testing.assert_allclose(np.asarray(hidden) * mask[..., None],
+                               out.last_hidden_state.numpy() * mask[..., None],
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pooled), out.pooler_output.numpy(),
+                               atol=2e-5)
+
+
+def test_clap_text_projection_matches_torch():
+    from dg_sct_tpu.models import roberta as R
+
+    torch.manual_seed(1)
+    seq = torch.nn.Sequential(torch.nn.Linear(16, 8), torch.nn.ReLU(),
+                              torch.nn.Linear(8, 8)).eval()
+    proj = R.projection_from_torch(
+        {k: v.detach().numpy() for k, v in seq.state_dict().items()})
+    x = np.random.RandomState(2).randn(5, 16).astype(np.float32)
+    with torch.no_grad():
+        ref = seq(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(R.text_projection(proj, jnp.asarray(x))),
+                               ref, atol=1e-5)
