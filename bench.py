@@ -84,20 +84,17 @@ def bench_forward(cfg, params, state, B, M):
     clips_per_sec = B * M / dt
     waves, imgs = stacks[0]
 
-    # MFU from a SINGLE-step lower (the scan program's cost analysis counts
-    # the body once, not M times — per-step math breaks). `bytes accessed` is
-    # NOT reported: XLA cost analysis counts logical bytes pre-fusion, which
+    # MFU from the STREAM executable's cost analysis: XLA counts a scan body
+    # ONCE regardless of trip count, so the reported flops ~= one step's and
+    # divide by dt/M. (Round 2 compiled a separate single-step program for
+    # this — a whole extra ~2-4 min cold compile through the tunnel for a
+    # number the stream program already carries.) `bytes accessed` is NOT
+    # reported: XLA cost analysis counts logical bytes pre-fusion, which
     # overestimates real HBM traffic (round-2 recorded an impossible 117% —
     # see NOTES.md #2), so no HBM-utilization number is published.
     try:
-        import jax
-
-        def fwd_one(params, state, wave, images):
-            out, _ = ave.forward(params, state, wave, images, cfg, train=False)
-            return out["event_scores"]
-
-        ca = jax.jit(fwd_one).lower(params, state, waves[0], imgs[0]) \
-            .compile().cost_analysis()
+        ca = fwd_stream.lower(params, state, *stacks[-1]).compile() \
+            .cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         step_s = dt / M
@@ -112,8 +109,8 @@ def bench_train(B, M):
     """Training-step throughput at full size (f32 params, bf16 compute):
     M full steps (fwd + bwd + Adam) chained in one jitted lax.scan with the
     train state carried and DONATED — same streaming methodology as the
-    forward bench. Remat policy via BENCH_REMAT=dots|full|none (default dots:
-    save matmul outputs, recompute elementwise — perf/remat_sweep.py)."""
+    forward bench. Remat policy via BENCH_REMAT=full|dots|none (default full;
+    dots OOMs at this size — perf/remat_sweep.py records the sweep)."""
     import jax
     import jax.numpy as jnp
     from dg_sct_tpu.configs import AVEModelConfig, TrainConfig
@@ -122,12 +119,21 @@ def bench_train(B, M):
     from dg_sct_tpu.train import ave_train, losses
     import optax
 
-    interleave.set_remat_policy(os.environ.get("BENCH_REMAT", "dots"))
+    # Measured (perf/remat_sweep.py, B=4): none 11.3 > full 9.8 clips/s,
+    # dots OOMs — storing activations beats recompute on this chip at this
+    # size, so the bench default is "none" (training drivers default "full"
+    # for headroom at larger batches).
+    interleave.set_remat_policy(os.environ.get("BENCH_REMAT", "none"))
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):
         params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
     tpu = jax.devices()[0]
     tr, fr = ave_train.partition_params(params)
+    if os.environ.get("BENCH_TRAIN_FROZEN_BF16", "1") == "1":
+        # frozen towers never see an optimizer: store them bf16 (halves their
+        # weight traffic; the trainable tree stays f32 for Adam)
+        fr = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, fr)
     tr, fr, state = (jax.device_put(t, tpu) for t in (tr, fr, state))
     tx = ave_train.make_optimizer(tr, TrainConfig(accum_steps=1), steps_per_epoch=100)
     opt_state = jax.device_put(tx.init(tr), tpu)

@@ -50,11 +50,11 @@ def set_scan(enabled: bool, min_pairs: int = 2) -> None:
 # Selective rematerialization policy for the per-block checkpoint under
 # training (perf/remat_sweep.py measures the trade):
 #   "full"  — recompute everything in backward (min HBM, max recompute FLOPs);
-#   "dots"  — save matmul outputs, recompute elementwise/norms (the classic
-#             selective-remat sweet spot: backward skips the expensive GEMM
-#             recompute but activation HBM stays bounded);
+#   "dots"  — save matmul outputs, recompute elementwise/norms (measured:
+#             OOMs at full size on the 16 GB v5e chip — the saved dot
+#             outputs of 48 blocks x 40x3136-token stages exceed HBM);
 #   "none"  — store all activations (max HBM, no recompute).
-REMAT_POLICY = "dots"
+REMAT_POLICY = "full"
 
 
 def set_remat_policy(policy: str) -> None:
