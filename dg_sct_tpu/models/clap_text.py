@@ -75,13 +75,15 @@ def compute_clap_text_features(classnames, *, weak=True,
     import jax
 
     names = list(classnames) + ([] if weak else ["background"])
+    branch_state = proj_state = None
     if clap_state_dict is not None:
         branch_state, _, proj_state = split_clap_text_state(clap_state_dict)
-        params = R.roberta_from_torch(branch_state)
-        proj = R.projection_from_torch(proj_state)
-    else:
-        params = R.init_roberta(jax.random.PRNGKey(seed))
-        proj = R.init_text_projection(jax.random.PRNGKey(seed + 1))
+    # partial checkpoints are tolerated (the torch path loaded strict=False):
+    # any component absent from the dict falls back to deterministic init
+    params = (R.roberta_from_torch(branch_state) if branch_state
+              else R.init_roberta(jax.random.PRNGKey(seed)))
+    proj = (R.projection_from_torch(proj_state) if proj_state
+            else R.init_text_projection(jax.random.PRNGKey(seed + 1)))
     ids, mask = _tokenize([PROMPT + n for n in names], R.VOCAB)
     _, pooled = R.roberta_encode(params, ids.astype(np.int32),
                                  mask.astype(np.int32))

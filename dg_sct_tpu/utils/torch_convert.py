@@ -299,3 +299,112 @@ def convert_ave_model(sd, num_adapters=12, groups=2):
     }
     state = {"htsat": htsat_state, "adapters": adapter_state}
     return params, state
+
+
+# ---------------------------------------------------------------------------
+# HF-format bridges: rename third-party (transformers) state dicts into the
+# reference/timm key layout the converters above consume, so the SAME
+# converter code paths run on real non-builder-authored checkpoints.
+# ---------------------------------------------------------------------------
+
+def hf_swinv2_to_timm_keys(sd) -> Dict[str, np.ndarray]:
+    """`transformers.Swinv2Model` state dict -> timm swinv2 key layout
+    (what `convert_swinv2` — and the reference's `net_trans.py:693`
+    timm checkpoint load — expects). HF stores q/k/v separately; timm fuses
+    qkv (no fused bias in V2 — q_bias/v_bias live beside it)."""
+    import numpy as _np
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else _np.asarray(v))
+          for k, v in sd.items()}
+    out = {}
+    out["patch_embed.proj.weight"] = sd["embeddings.patch_embeddings.projection.weight"]
+    out["patch_embed.proj.bias"] = sd["embeddings.patch_embeddings.projection.bias"]
+    out["patch_embed.norm.weight"] = sd["embeddings.norm.weight"]
+    out["patch_embed.norm.bias"] = sd["embeddings.norm.bias"]
+    out["norm.weight"] = sd["layernorm.weight"]
+    out["norm.bias"] = sd["layernorm.bias"]
+    for k in sd:
+        if not k.startswith("encoder.layers."):
+            continue
+        parts = k.split(".")
+        s, rest = parts[2], ".".join(parts[3:])
+        if rest.startswith("downsample."):
+            out[f"layers.{s}.{rest}"] = sd[k]
+            continue
+        if not rest.startswith("blocks."):
+            continue
+        b = rest.split(".")[1]
+        pre = f"layers.{s}.blocks.{b}"
+        hfb = f"encoder.layers.{s}.blocks.{b}"
+        if (pre + ".attn.qkv.weight") not in out:
+            a = hfb + ".attention.self."
+            out[pre + ".attn.qkv.weight"] = np.concatenate(
+                [sd[a + "query.weight"], sd[a + "key.weight"],
+                 sd[a + "value.weight"]], axis=0)
+            out[pre + ".attn.q_bias"] = sd[a + "query.bias"]
+            out[pre + ".attn.v_bias"] = sd[a + "value.bias"]
+            out[pre + ".attn.logit_scale"] = sd[a + "logit_scale"]
+            out[pre + ".attn.cpb_mlp.0.weight"] = sd[a + "continuous_position_bias_mlp.0.weight"]
+            out[pre + ".attn.cpb_mlp.0.bias"] = sd[a + "continuous_position_bias_mlp.0.bias"]
+            out[pre + ".attn.cpb_mlp.2.weight"] = sd[a + "continuous_position_bias_mlp.2.weight"]
+            out[pre + ".attn.proj.weight"] = sd[hfb + ".attention.output.dense.weight"]
+            out[pre + ".attn.proj.bias"] = sd[hfb + ".attention.output.dense.bias"]
+            out[pre + ".norm1.weight"] = sd[hfb + ".layernorm_before.weight"]
+            out[pre + ".norm1.bias"] = sd[hfb + ".layernorm_before.bias"]
+            out[pre + ".norm2.weight"] = sd[hfb + ".layernorm_after.weight"]
+            out[pre + ".norm2.bias"] = sd[hfb + ".layernorm_after.bias"]
+            out[pre + ".mlp.fc1.weight"] = sd[hfb + ".intermediate.dense.weight"]
+            out[pre + ".mlp.fc1.bias"] = sd[hfb + ".intermediate.dense.bias"]
+            out[pre + ".mlp.fc2.weight"] = sd[hfb + ".output.dense.weight"]
+            out[pre + ".mlp.fc2.bias"] = sd[hfb + ".output.dense.bias"]
+    return out
+
+
+def hf_clap_audio_to_htsat_keys(sd) -> Dict[str, np.ndarray]:
+    """`transformers.ClapAudioModel` state dict -> reference HTSAT key layout
+    (what `convert_htsat` — the `DG-SCT/AVE/nets/htsat.py` checkpoint format —
+    expects). Fuses q/k/v, maps batch_norm -> bn0."""
+    import numpy as _np
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else _np.asarray(v))
+          for k, v in sd.items()}
+    P = "audio_encoder."
+    out = {}
+    for suffix in ("weight", "bias"):
+        out[f"patch_embed.proj.{suffix}"] = sd[f"{P}patch_embed.proj.{suffix}"]
+        out[f"patch_embed.norm.{suffix}"] = sd[f"{P}patch_embed.norm.{suffix}"]
+        out[f"norm.{suffix}"] = sd[f"{P}norm.{suffix}"]
+        out[f"bn0.{suffix}"] = sd[f"{P}batch_norm.{suffix}"]
+    out["bn0.running_mean"] = sd[f"{P}batch_norm.running_mean"]
+    out["bn0.running_var"] = sd[f"{P}batch_norm.running_var"]
+    for k in sd:
+        if not k.startswith(P + "layers."):
+            continue
+        parts = k[len(P):].split(".")
+        s = parts[1]
+        if parts[2] == "downsample":
+            out[f"layers.{s}." + ".".join(parts[2:])] = sd[k]
+            continue
+        if parts[2] != "blocks":
+            continue
+        b = parts[3]
+        pre = f"layers.{s}.blocks.{b}"
+        hfb = f"{P}layers.{s}.blocks.{b}"
+        if (pre + ".attn.qkv.weight") not in out:
+            a = hfb + ".attention.self."
+            out[pre + ".attn.qkv.weight"] = np.concatenate(
+                [sd[a + "query.weight"], sd[a + "key.weight"],
+                 sd[a + "value.weight"]], axis=0)
+            out[pre + ".attn.qkv.bias"] = np.concatenate(
+                [sd[a + "query.bias"], sd[a + "key.bias"], sd[a + "value.bias"]])
+            out[pre + ".attn.relative_position_bias_table"] = \
+                sd[a + "relative_position_bias_table"]
+            out[pre + ".attn.proj.weight"] = sd[hfb + ".attention.output.dense.weight"]
+            out[pre + ".attn.proj.bias"] = sd[hfb + ".attention.output.dense.bias"]
+            out[pre + ".norm1.weight"] = sd[hfb + ".layernorm_before.weight"]
+            out[pre + ".norm1.bias"] = sd[hfb + ".layernorm_before.bias"]
+            out[pre + ".norm2.weight"] = sd[hfb + ".layernorm_after.weight"]
+            out[pre + ".norm2.bias"] = sd[hfb + ".layernorm_after.bias"]
+            out[pre + ".mlp.fc1.weight"] = sd[hfb + ".intermediate.dense.weight"]
+            out[pre + ".mlp.fc1.bias"] = sd[hfb + ".intermediate.dense.bias"]
+            out[pre + ".mlp.fc2.weight"] = sd[hfb + ".output.dense.weight"]
+            out[pre + ".mlp.fc2.bias"] = sd[hfb + ".output.dense.bias"]
+    return out

@@ -288,3 +288,130 @@ def test_clap_text_projection_matches_torch():
         ref = seq(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(np.asarray(R.text_projection(proj, jnp.asarray(x))),
                                ref, atol=1e-5)
+
+
+def test_htsat_full_tower_matches_transformers_clap_audio():
+    """FULL HTS-AT audio tower vs `transformers.ClapAudioModel`: bn0 -> mel
+    fold (reshape_mel2img == our reshape_wav2img) -> patch embed -> all 4
+    stages + patch merging -> final norm -> tscam freq fold + latent pool.
+    Weights transferred through `torch_convert.convert_htsat` via the
+    `hf_clap_audio_to_htsat_keys` bridge — the converter consumes a real
+    third-party state dict, not builder-authored keys. Reference:
+    DG-SCT/AVE/nets/htsat.py:370-826."""
+    from transformers import ClapAudioConfig
+    from transformers.models.clap.modeling_clap import ClapAudioModel
+    from dg_sct_tpu.configs import AudioFrontendConfig, HTSATConfig
+    from dg_sct_tpu.models import htsat as H
+    from dg_sct_tpu.ops import dsp
+    from dg_sct_tpu.ops.basic import batch_norm, layer_norm
+    from dg_sct_tpu.utils import torch_convert as TC
+
+    hcfg = ClapAudioConfig(spec_size=128, num_mel_bins=32, window_size=2,
+                           patch_embeds_hidden_size=16, depths=[1, 1, 2, 1],
+                           num_attention_heads=[2, 2, 2, 2],
+                           drop_path_rate=0.0, hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0,
+                           enable_fusion=False)
+    torch.manual_seed(7)
+    hf = ClapAudioModel(hcfg).eval()
+    # randomize bn0 running stats so the bn0 transfer is actually exercised
+    hf.audio_encoder.batch_norm.running_mean.normal_(0, 0.3)
+    hf.audio_encoder.batch_norm.running_var.uniform_(0.5, 1.5)
+
+    params, bn_state = TC.convert_htsat(
+        TC.hf_clap_audio_to_htsat_keys(hf.state_dict()), depths=(1, 1, 2, 1))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
+
+    frontend = AudioFrontendConfig(mel_bins=32, spec_size=128)
+    cfg = HTSATConfig(spec_size=128, patch_size=4, embed_dim=16,
+                      depths=(1, 1, 2, 1), num_heads=(2, 2, 2, 2),
+                      window_size=2, drop_path_rate=0.0, frontend=frontend)
+
+    rs = np.random.RandomState(8)
+    B, T, F = 2, 512, 32            # T == spec_size * freq_ratio: no resize
+    mel = rs.randn(B, T, F).astype(np.float32)
+
+    with torch.no_grad():
+        out = hf(input_features=torch.from_numpy(
+            mel[:, None]), is_longer=None)  # (B, 1, T, F)
+    ref_last = out.last_hidden_state.numpy()      # (B, C, c_freq_bin, L)
+    ref_pool = out.pooler_output.numpy()          # (B, C)
+
+    # our pipeline from the same normalized mel
+    x, _ = batch_norm(params["bn0"], bn_state["bn0"], jnp.asarray(mel),
+                      train=False, axis=-1)
+    img = dsp.reshape_wav2img(x, frontend)
+    from dg_sct_tpu.ops.basic import patch_embed
+    h = patch_embed(params["patch_embed"], img, cfg.patch_size)
+    plan = H.block_plan(cfg)
+    for s, stage in enumerate(plan):
+        for d, meta in enumerate(stage):
+            h = H.block(params["layers"][s]["blocks"][d], h, dim=meta["dim"],
+                        heads=meta["heads"], res=meta["res"], ws=meta["ws"],
+                        shift=meta["shift"])
+        if "downsample" in params["layers"][s]:
+            h = H.patch_merging(params["layers"][s]["downsample"], h, meta["res"])
+    h = layer_norm(params["norm"], h)
+    # tscam freq fold (tscam_head's g), to CLAP's (B, C, cfb, L) layout
+    N, L, C = h.shape
+    SF = ST = cfg.stage_resolution(cfg.num_layers - 1)[0]
+    cfb = H.tscam_freq_bins(cfg)
+    fr = SF // cfb
+    g = h.reshape(N, SF, ST, C).reshape(N, fr, cfb, ST, C) \
+         .transpose(0, 2, 1, 3, 4).reshape(N, cfb, fr * ST, C)
+    ours_last = np.asarray(g.transpose(0, 3, 1, 2))
+    ours_pool = np.asarray(jnp.mean(g.reshape(N, -1, C), axis=1))
+
+    np.testing.assert_allclose(ours_last, ref_last, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(ours_pool, ref_pool, atol=2e-4, rtol=1e-3)
+
+
+def test_torch_convert_consumes_hf_swinv2_state_dict():
+    """`torch_convert.convert_swinv2` (the reference/timm checkpoint format
+    converter) run on a REAL `transformers.Swinv2Model` state dict via the
+    `hf_swinv2_to_timm_keys` bridge: resulting params must match the direct
+    hf_convert path leaf-for-leaf AND reproduce the HF tower output."""
+    from transformers import Swinv2Config, Swinv2Model
+    from dg_sct_tpu.configs import SwinV2Config
+    from dg_sct_tpu.models import swinv2 as S
+    from dg_sct_tpu.utils import torch_convert as TC
+    from dg_sct_tpu.utils.hf_convert import swinv2_from_transformers
+
+    hcfg = Swinv2Config(image_size=64, patch_size=4, embed_dim=16,
+                        depths=[1, 1], num_heads=[2, 2], window_size=4,
+                        drop_path_rate=0.0, hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(9)
+    hf = Swinv2Model(hcfg).eval()
+    cfg = SwinV2Config(img_size=64, patch_size=4, embed_dim=16,
+                       depths=(1, 1), num_heads=(2, 2), window_size=4,
+                       drop_path_rate=0.0)
+
+    via_bridge = TC.convert_swinv2(TC.hf_swinv2_to_timm_keys(hf.state_dict()),
+                                   depths=(1, 1))
+    via_bridge = jax.tree_util.tree_map(jnp.asarray, via_bridge)
+    direct = swinv2_from_transformers(hf, cfg)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(via_bridge),
+            jax.tree_util.tree_leaves_with_path(direct)):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+    rs = np.random.RandomState(10)
+    img = rs.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.from_numpy(
+            img.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    tok = S.patch_embed_tokens(via_bridge, jnp.asarray(img), cfg)
+    plan = S.block_plan(cfg)
+    for s, stage in enumerate(plan):
+        for d, meta in enumerate(stage):
+            tok = S.block(via_bridge["layers"][s]["blocks"][d], tok, meta)
+        if "downsample" in via_bridge["layers"][s]:
+            tok = S.patch_merging(via_bridge["layers"][s]["downsample"], tok,
+                                  cfg.stage_resolution(s))
+    from dg_sct_tpu.ops.basic import layer_norm
+    tok = layer_norm(via_bridge["norm"], tok)
+    np.testing.assert_allclose(np.asarray(tok), ref, atol=1e-4, rtol=1e-3)
