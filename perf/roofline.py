@@ -26,16 +26,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NOMINAL = 197e12
 
 
+def _fetch(x):
+    # Through the tunnel block_until_ready does NOT fence (NOTES.md #5);
+    # pulling a scalar reduction of the output to host is the only fence.
+    import jax.numpy as jnp
+    return float(jnp.sum(x.astype(jnp.float32) if x.dtype != jnp.float32 else x))
+
+
 def timed_tf(fn, make_inputs, flops, reps=3):
-    import jax
-    outs = fn(*make_inputs(0))
-    jax.block_until_ready(outs)
+    _fetch(fn(*make_inputs(0)))
     ts = []
     for r in range(1, reps + 1):
         inp = make_inputs(r)
-        jax.block_until_ready(inp)
+        for x in inp:
+            _fetch(x)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*inp))
+        _fetch(fn(*inp))
         ts.append(time.perf_counter() - t0)
     return flops / sorted(ts)[len(ts) // 2]
 
@@ -93,13 +99,18 @@ def main():
     # qk matmul (144, 32) @ (32, 144) batched over B*nW*heads ~ 40*36*6
     BATCH, L, D = 40 * 36 * 6, 144, 32
 
+    AITERS = 256  # 0.55 TFLOP/iter is latency-dominated at 8 iters
+
     @jax.jit
     def attn_shapes_bf16(q, k):
+        # score (144x32 @ 32x144) + context (144x144 @ 144x32) — the model's
+        # real pair; the context matmul consumes ALL of s, so XLA cannot
+        # narrow the score GEMM (a slice here would overcount flops 4.5x)
         def body(c, _):
             s = jnp.einsum("bld,bmd->blm", q + c, k)
-            c = jnp.tanh(s[..., :D])
+            c = jnp.tanh(jnp.einsum("blm,bmd->bld", s, k))
             return c, ()
-        c, _ = jax.lax.scan(body, jnp.zeros_like(q), (), length=ITERS)
+        c, _ = jax.lax.scan(body, jnp.zeros_like(q), (), length=AITERS)
         return c
 
     def mk_attn(r):
@@ -108,26 +119,85 @@ def main():
                 jnp.asarray(rr.randn(BATCH, L, D), jnp.bfloat16))
 
     out["attn_score_bf16_tflops"] = round(
-        timed_tf(attn_shapes_bf16, mk_attn, 2.0 * BATCH * L * L * D * ITERS) / 1e12, 1)
+        timed_tf(attn_shapes_bf16, mk_attn,
+                 2.0 * BATCH * L * L * D * 2 * AITERS) / 1e12, 1)
 
     # -- 4: adapter/MLP fat GEMMs (stage-2 shapes: tokens 36*40, 768->3072) --
     M, K, Nn = 36 * 40, 768, 3072
 
+    FITERS = 1024  # 13.6 GFLOP/iter (fc1 + fc2)
+
     @jax.jit
-    def fat_bf16(x, w):
+    def fat_bf16(x, w, w2):
+        # fc1 + fc2 round trip: a slice instead of w2 would let XLA narrow
+        # the matmul and overcount flops 4x (seen: 290 "TF/s" > nominal)
         def body(c, _):
-            c = jnp.tanh((c @ w)[:, :K])
+            c = jnp.tanh((c @ w) @ w2)
             return c, ()
-        c, _ = jax.lax.scan(body, x, (), length=ITERS)
+        c, _ = jax.lax.scan(body, x, (), length=FITERS)
         return c
 
     def mk_fat(r):
         rr = np.random.RandomState(r)
         return (jnp.asarray(rr.randn(M, K), jnp.bfloat16),
-                jnp.asarray(rr.randn(K, Nn), jnp.bfloat16))
+                jnp.asarray(rr.randn(K, Nn), jnp.bfloat16),
+                jnp.asarray(rr.randn(Nn, K), jnp.bfloat16) * 0.01)
 
     out["fat_gemm_bf16_tflops"] = round(
-        timed_tf(fat_bf16, mk_fat, 2.0 * M * K * Nn * ITERS) / 1e12, 1)
+        timed_tf(fat_bf16, mk_fat, 2.0 * M * K * Nn * 2 * FITERS) / 1e12, 1)
+
+    # int8 variants of (3) and (4): does int8 raise the small-shape rates?
+    @jax.jit
+    def attn_shapes_int8(q8, k8):
+        def body(c, _):
+            s = jax.lax.dot_general(
+                jnp.clip(q8 + c, -127, 127).astype(jnp.int8), k8,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            s8 = (s >> 8).astype(jnp.int8)
+            c = jax.lax.dot_general(
+                s8, k8, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            return c, ()
+        c, _ = jax.lax.scan(
+            body, jnp.zeros(q8.shape, jnp.int32), (), length=AITERS)
+        return c
+
+    def mk_attn8(r):
+        rr = np.random.RandomState(r)
+        return (jnp.asarray(rr.randint(-64, 64, (BATCH, L, D)), jnp.int8),
+                jnp.asarray(rr.randint(-127, 127, (BATCH, L, D)), jnp.int8))
+
+    try:
+        out["attn_score_int8_tops"] = round(
+            timed_tf(attn_shapes_int8, mk_attn8,
+                     2.0 * BATCH * L * L * D * 2 * AITERS) / 1e12, 1)
+    except Exception as e:
+        out["attn_score_int8_tops"] = f"unsupported: {type(e).__name__}"
+
+    @jax.jit
+    def fat_int8(x8, w8, w28):
+        def body(c, _):
+            h = jax.lax.dot(c, w8, preferred_element_type=jnp.int32)
+            h = (h >> 8).astype(jnp.int8)
+            y = jax.lax.dot(h, w28, preferred_element_type=jnp.int32)
+            c = (y >> 8).astype(jnp.int8)
+            return c, ()
+        c, _ = jax.lax.scan(body, x8, (), length=FITERS)
+        return c
+
+    def mk_fat8(r):
+        rr = np.random.RandomState(r)
+        return (jnp.asarray(rr.randint(-127, 127, (M, K)), jnp.int8),
+                jnp.asarray(rr.randint(-127, 127, (K, Nn)), jnp.int8),
+                jnp.asarray(rr.randint(-127, 127, (Nn, K)), jnp.int8))
+
+    try:
+        out["fat_gemm_int8_tops"] = round(
+            timed_tf(fat_int8, mk_fat8,
+                     2.0 * M * K * Nn * 2 * FITERS) / 1e12, 1)
+    except Exception as e:
+        out["fat_gemm_int8_tops"] = f"unsupported: {type(e).__name__}"
 
     # -- 5: implied ceiling --------------------------------------------------
     # Forward flop mix (from the compiled forward's cost analysis, NOTES.md):
