@@ -32,10 +32,14 @@ import time
 import numpy as np
 
 V5E_PEAK_FLOPS = 197e12   # bf16 nominal
-# Measured big-matmul ceiling through this tunnel (perf/peaks.py): ~85 TF/s
-# bf16 — 43% of nominal. `mfu_vs_achievable_pct` is MFU against this measured
-# machine ceiling; `mfu_pct` stays against the nominal spec.
-ACHIEVABLE_FLOPS = 85e12
+# Measured big-matmul ceiling through this tunnel (perf/roofline.py, output
+# properly fenced by fetching a scalar reduction — round-2's 85 TF/s was
+# under-fenced): 114 TF/s bf16 = 58% of nominal; int8 168 TOPS. The model's
+# matmul-only ceiling at its TRUE GEMM shapes/mix (perf/flop_mix.py: 3.7%
+# skinny attention pairs @ 14 TF/s, 94% fat @ 137 TF/s) is ~103 TF/s.
+# `mfu_vs_achievable_pct` is MFU against that shape-mix ceiling; `mfu_pct`
+# stays against the nominal spec.
+ACHIEVABLE_FLOPS = 103e12
 
 
 def bench_forward(cfg, params, state, B, M):
@@ -333,7 +337,8 @@ def main():
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         try:
             result["train_clips_per_sec"] = round(
-                bench_train(int(os.environ.get("BENCH_TRAIN_BATCH", "4")), 4), 2)
+                bench_train(int(os.environ.get("BENCH_TRAIN_BATCH", "4")),
+                            int(os.environ.get("BENCH_TRAIN_ITERS", "8"))), 2)
             result["train_compile_s"] = getattr(bench_train, "compile_s", None)
             if getattr(bench_train, "mfu_pct", None) is not None:
                 result["train_mfu_pct"] = bench_train.mfu_pct

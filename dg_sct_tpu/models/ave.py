@@ -41,6 +41,20 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
     net_trans.py:851-854, which also makes the leading axis the data-parallel
     sharding axis at full T*B width.
     """
+    # Mixed precision: params arrive as f32 masters from the optimizer; cast
+    # float leaves to the compute dtype HERE so no f32 leaf (e.g. a trainable
+    # adapter kernel) silently promotes every downstream op to f32 — without
+    # this, `f_v + v_res` after the first adapter turns the whole remaining
+    # network f32 (half MXU rate, 2x HBM). No-op for f32 configs; grads flow
+    # back through the cast to the f32 masters.
+    cd = cfg.compute_dtype
+    if cd != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(cd) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params)
+        wave = wave.astype(cd)
+        images = images.astype(cd)
+
     B, T = wave.shape[0], wave.shape[1]
     wave_f = wave.reshape(B * T, -1)
     img_f = images.reshape((B * T,) + images.shape[2:])

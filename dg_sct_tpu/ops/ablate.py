@@ -1,0 +1,22 @@
+"""Perf-instrumentation knockouts (trace-time, default empty).
+
+`perf/tail_knockouts.py` uses these to attribute the forward's non-matmul
+time (the gap between the measured step and the matmul-only roofline of
+perf/flop_mix.py) by compiling variants with one elementwise/layout
+subsystem removed. NEVER active in product paths: every flag defaults off
+and only the perf harness sets them.
+
+Flags: "softmax" (uniform-weight attention), "cosnorm" (plain scaled
+dot-product instead of Swin-V2 scaled-cosine), "biasadd" (skip relative
+position bias + shift mask adds), "roll" (no cyclic shift), "gelu" (relu).
+"""
+ACTIVE: frozenset = frozenset()
+
+
+def set_ablations(*names: str) -> None:
+    global ACTIVE
+    ACTIVE = frozenset(names)
+
+
+def on(name: str) -> bool:
+    return name in ACTIVE

@@ -66,6 +66,9 @@ def mlp_init(key, dim, hidden, out=None, dtype=jnp.float32):
 
 
 def mlp(params, x, act=jax.nn.gelu):
+    from . import ablate
+    if ablate.on("gelu"):
+        act = jax.nn.relu
     return linear(params["fc2"], act(linear(params["fc1"], x)))
 
 

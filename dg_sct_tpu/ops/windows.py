@@ -126,14 +126,19 @@ def _attn_core(q, k, v, bias, mask, out_dtype, nW=1):
     # accumulate scores in f32 on the MXU but MATERIALIZE them in the compute
     # dtype — the (Bw, H, N, N) tensors dominate HBM traffic in bf16 runs
     # (f32 runs are unchanged: astype is a no-op)
+    from . import ablate
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                       preferred_element_type=jnp.float32).astype(q.dtype)
-    attn = attn + bias[None].astype(attn.dtype)
-    if mask is not None:
-        nW = mask.shape[0]
-        attn = attn.reshape(Bw // nW, nW, H, N, N) + mask[None, :, None].astype(attn.dtype)
-        attn = attn.reshape(Bw, H, N, N)
-    attn = jax.nn.softmax(attn, axis=-1).astype(out_dtype)
+    if not ablate.on("biasadd"):
+        attn = attn + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bw // nW, nW, H, N, N) + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(Bw, H, N, N)
+    if ablate.on("softmax"):
+        attn = (attn * (1.0 / N)).astype(out_dtype)
+    else:
+        attn = jax.nn.softmax(attn, axis=-1).astype(out_dtype)
     return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, H * D)
 
 
@@ -196,11 +201,15 @@ def window_attention_v2(params, x, *, num_heads, ws, mask=None, pretrained_ws=0,
     qkv = (x @ params["qkv"]["kernel"] + qkv_bias).reshape(Bw, N, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-    qn = q * jax.lax.rsqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True) + 1e-12)
-    kn = k * jax.lax.rsqrt(jnp.sum(jnp.square(k), axis=-1, keepdims=True) + 1e-12)
-    # fold the per-head logit scale into q (scores are linear in q)
-    logit_scale = jnp.exp(jnp.minimum(params["logit_scale"], math.log(1.0 / 0.01)))
-    qn = qn * logit_scale[:, 0, 0][None, None, :, None].astype(qn.dtype)
+    from . import ablate
+    if ablate.on("cosnorm"):
+        qn, kn = q * (hd ** -0.5), k
+    else:
+        qn = q * jax.lax.rsqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True) + 1e-12)
+        kn = k * jax.lax.rsqrt(jnp.sum(jnp.square(k), axis=-1, keepdims=True) + 1e-12)
+        # fold the per-head logit scale into q (scores are linear in q)
+        logit_scale = jnp.exp(jnp.minimum(params["logit_scale"], math.log(1.0 / 0.01)))
+        qn = qn * logit_scale[:, 0, 0][None, None, :, None].astype(qn.dtype)
 
     table = log_cpb_coords_table_jnp(ws, ws, pretrained_ws).astype(x.dtype)
     cpb = linear(params["cpb_fc2"], jax.nn.relu(linear(params["cpb_fc1"], table)))
@@ -216,7 +225,10 @@ def shifted_window_attention(attn_fn, x, *, H, W, ws, shift):
     """Full spatial attention step: roll -> partition -> attn -> reverse -> unroll.
 
     `attn_fn(windows, mask, nW)` does the per-window attention. x: (B, H*W, C)."""
+    from . import ablate
     B, L, C = x.shape
+    if ablate.on("roll"):
+        shift = 0
     xs = x.reshape(B, H, W, C)
     if shift > 0:
         xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))

@@ -71,7 +71,11 @@ def ave_labels(gt):
 
 
 def ave_loss(outputs, gt):
-    """The reference's composite AVE loss (main_trans.py:124-130)."""
+    """The reference's composite AVE loss (main_trans.py:124-130).
+
+    Logits are reduced in f32: under bf16 mixed-precision compute the
+    log-softmax/BCE reductions stay full-precision."""
+    outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
     labels_bce, labels_event = ave_labels(gt)
     loss = (bce_with_logits(outputs["is_event_scores"], labels_bce)
             + bce_with_logits(outputs["av_gate"], labels_bce)
