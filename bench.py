@@ -20,7 +20,10 @@ Baseline: 500 clip pairs/sec on v5e-8 (= 62.5/chip); vs_baseline is measured
 per-chip eval throughput / 62.5.
 
 Env knobs: BENCH_BATCH (4), BENCH_ITERS (32), BENCH_TRAIN=0/1 (1),
-BENCH_E2E=0/1 (1), BENCH_PALLAS=0/1 (0).
+BENCH_E2E=0/1 (1), BENCH_PALLAS=0/1 (0), BENCH_INT8=0/1 (1; int8 frozen-tower
+serving path, static scales cached in perf/bench_ascales.json),
+BENCH_INT8_RECAL=0/1 (0), BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8),
+BENCH_REMAT=none|full|dots (none).
 """
 from __future__ import annotations
 
@@ -311,6 +314,44 @@ def main():
             clips_per_sec, mfu, mfu_ach = bench_forward(cfg, params, state, B, M)
     else:
         clips_per_sec = mfu = mfu_ach = float("nan")
+    fwd_compile_s = getattr(bench_forward, "compile_s", None)
+
+    # int8 serving path: frozen towers on the v5e int8 MXU (ops/quant.py) with
+    # STATIC calibrated activation scales (dynamic per-row scales measured a
+    # zero net win — the absmax/requant HBM passes eat the 1.5x GEMM gain).
+    # Scales for the bench's deterministic seed-0 params are cached in
+    # perf/bench_ascales.json (committed) so a fresh machine skips the ~5 min
+    # calibration compile; BENCH_INT8_RECAL=1 regenerates it.
+    int8_clips = float("nan")
+    if os.environ.get("BENCH_INT8", "1") == "1":
+        try:
+            from dg_sct_tpu.ops import quant
+            sfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "perf", "bench_ascales.json")
+            scales = None
+            if (os.path.exists(sfile)
+                    and os.environ.get("BENCH_INT8_RECAL", "0") != "1"):
+                with open(sfile) as f:
+                    scales = {int(k): v for k, v in json.load(f).items()}
+            if scales is None:
+                rs = np.random.RandomState(7)
+                cw = jnp.asarray((rs.randn(B, cfg.num_frames,
+                                           cfg.htsat.frontend.clip_samples) * 0.1)
+                                 .astype(np.float32)).astype(jnp.bfloat16)
+                ci = jnp.asarray(rs.rand(B, cfg.num_frames, cfg.swin.img_size,
+                                         cfg.swin.img_size, 3)
+                                 .astype(np.float32)).astype(jnp.bfloat16)
+                scales = quant.calibrate_ave(params, state, cfg, cw, ci)
+                with open(sfile, "w") as f:
+                    json.dump(scales, f)
+            with jax.default_device(jax.devices("cpu")[0]):
+                qparams = quant.quantize_eval_params(
+                    jax.device_get(params), act_scales=scales)
+            qparams = jax.device_put(qparams, tpu)
+            int8_clips, _, _ = bench_forward(cfg, qparams, state, B, M)
+            del qparams
+        except Exception as e:
+            print(f"# int8 bench failed: {type(e).__name__}: {e}", flush=True)
 
     import math
     result = {
@@ -320,7 +361,9 @@ def main():
         "vs_baseline": round(clips_per_sec / (500.0 / 8.0), 3),
         "mfu_pct": round(mfu, 2),
         "mfu_vs_achievable_pct": round(mfu_ach, 2),
-        "compile_s": getattr(bench_forward, "compile_s", None),
+        "compile_s": fwd_compile_s,
+        "int8_clips_per_sec": round(int8_clips, 2),
+        "int8_vs_baseline": round(int8_clips / (500.0 / 8.0), 3),
     }
     result = {k: v for k, v in result.items()
               if not (isinstance(v, float) and math.isnan(v))}

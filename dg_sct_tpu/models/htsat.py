@@ -149,7 +149,7 @@ def patch_merging(params, x, res):
                          x[:, :, 0, :, 1], x[:, :, 1, :, 1]], axis=-1)
     x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
     x = layer_norm(params["norm"], x)
-    return x @ params["reduction"]["kernel"]
+    return linear(params["reduction"], x)
 
 
 def block_plan(cfg: HTSATConfig):

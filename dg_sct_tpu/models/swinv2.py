@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import SwinV2Config
-from ..ops.basic import (drop_path, layer_norm, layer_norm_init, mlp, mlp_init,
-                         patch_embed, patch_embed_init)
+from ..ops.basic import (drop_path, layer_norm, layer_norm_init, linear, mlp,
+                         mlp_init, patch_embed, patch_embed_init)
 from ..ops.windows import (attention_v2_init, shifted_window_attention,
                            window_attention_v2)
 
@@ -122,7 +122,7 @@ def patch_merging(params, x, res):
     x = jnp.concatenate([x[:, :, 0, :, 0], x[:, :, 1, :, 0],
                          x[:, :, 0, :, 1], x[:, :, 1, :, 1]], axis=-1)
     x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
-    x = x @ params["reduction"]["kernel"]
+    x = linear(params["reduction"], x)
     return layer_norm(params["norm"], x)
 
 

@@ -41,6 +41,9 @@ def linear_init(key, in_dim, out_dim, bias=True, dtype=jnp.float32):
 
 
 def linear(params, x):
+    if "kernel_q" in params:  # int8-quantized frozen-tower path (ops/quant.py)
+        from .quant import linear_int8
+        return linear_int8(params, x)
     y = x @ params["kernel"]
     if "bias" in params:
         y = y + params["bias"]

@@ -198,7 +198,7 @@ def window_attention_v2(params, x, *, num_heads, ws, mask=None, pretrained_ws=0,
     hd = C // num_heads
     qkv_bias = jnp.concatenate([
         params["q_bias"], jnp.zeros_like(params["v_bias"]), params["v_bias"]])
-    qkv = (x @ params["qkv"]["kernel"] + qkv_bias).reshape(Bw, N, 3, num_heads, hd)
+    qkv = (linear(params["qkv"], x) + qkv_bias).reshape(Bw, N, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
     from . import ablate

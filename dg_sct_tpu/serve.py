@@ -36,7 +36,7 @@ from .ops.basic import normalize_frames_u8
 class AVEInferenceEngine:
     def __init__(self, cfg: AVEModelConfig, params, state, *, batch_size: int = 4,
                  chunk: int = 8, compute_dtype=jnp.bfloat16, prefetch: int = 2,
-                 num_workers: int = 8):
+                 num_workers: int = 8, int8_towers: bool = False):
         self.cfg = cfg
         self.B = batch_size
         self.chunk = chunk
@@ -49,6 +49,10 @@ class AVEInferenceEngine:
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
         self.params = cast(params)
         self.state = cast(state)
+        if int8_towers:
+            # frozen towers on the v5e int8 MXU path (ops/quant.py)
+            from .ops.quant import quantize_eval_params
+            self.params = quantize_eval_params(self.params)
 
         def stream_fn(params, state, waves, imgs):
             def body(carry, wi):
