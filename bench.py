@@ -284,9 +284,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("BENCH_CACHE_DIR", "/tmp/dg_sct_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from dg_sct_tpu.utils.compile_cache import enable_persistent_cache
+    if "BENCH_CACHE_DIR" in os.environ:  # stable per-user dir otherwise
+        os.environ["DG_SCT_CACHE_DIR"] = os.environ["BENCH_CACHE_DIR"]
+    enable_persistent_cache()
 
     from dg_sct_tpu.configs import AVEModelConfig
     from dg_sct_tpu.models import ave

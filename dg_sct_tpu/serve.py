@@ -37,6 +37,8 @@ class AVEInferenceEngine:
     def __init__(self, cfg: AVEModelConfig, params, state, *, batch_size: int = 4,
                  chunk: int = 8, compute_dtype=jnp.bfloat16, prefetch: int = 2,
                  num_workers: int = 8, int8_towers: bool = False):
+        from .utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.cfg = cfg
         self.B = batch_size
         self.chunk = chunk

@@ -25,6 +25,7 @@ from ..data import ave as ave_data
 from ..models import ave as ave_model
 from ..parallel import mesh as M
 from ..utils import checkpoint as ckpt_lib
+from ..utils.compile_cache import enable_persistent_cache
 from ..utils.metrics_log import MetricsLogger, snapshot_run
 from . import ave_train
 from .optim import count_params
@@ -59,6 +60,7 @@ def evaluate(eval_step, tr, fr, state, batches):
 
 def main(argv=None, cfg: AVEModelConfig | None = None):
     args = parse_args(argv)
+    enable_persistent_cache()
     cfg = cfg or AVEModelConfig()
     tcfg = TrainConfig(batch_size=args.batch_size, accum_steps=args.accum,
                        lr=args.lr, epochs=args.epochs, seed=args.seed,

@@ -31,6 +31,7 @@ from ..data import avqa as avqa_data
 from ..models import avqa as avqa_model
 from ..models import avqa_grounding
 from ..utils import checkpoint as ckpt_lib
+from ..utils.compile_cache import enable_persistent_cache
 from ..utils.metrics_log import MetricsLogger, snapshot_run
 from . import avqa_train, losses
 from .ave_train import merge_params, partition_params
@@ -270,6 +271,7 @@ def run_stage2(args, cfg, rng):
 
 def main(argv=None, cfg: AVQAModelConfig | None = None):
     args = parse_args(argv)
+    enable_persistent_cache()
     cfg = cfg or AVQAModelConfig()
     rng = jax.random.PRNGKey(args.seed)
 

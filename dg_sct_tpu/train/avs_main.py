@@ -29,6 +29,7 @@ from ..data import ave as ave_data
 from ..data import avs as avs_data
 from ..models import avs as avs_model
 from ..utils import checkpoint as ckpt_lib
+from ..utils.compile_cache import enable_persistent_cache
 from ..utils.metrics_log import MetricsLogger, snapshot_run
 from . import avs_train
 from .metrics import f_measure, mask_iou
@@ -97,6 +98,7 @@ def evaluate(estep, tr, fr, state, dataset, *, batch_size=4, with_f=False,
 
 def main(argv=None, cfg: AVSModelConfig | None = None):
     args = parse_args(argv)
+    enable_persistent_cache()
     cfg = cfg or AVSModelConfig()
     rng = jax.random.PRNGKey(args.seed)
     params, state = avs_model.init_avs_model(rng, cfg)

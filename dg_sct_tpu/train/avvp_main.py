@@ -27,6 +27,7 @@ from ..data import ave as ave_data
 from ..data import avvp as avvp_data
 from ..models import avvp as avvp_model
 from ..utils import checkpoint as ckpt_lib
+from ..utils.compile_cache import enable_persistent_cache
 from ..utils.metrics_log import MetricsLogger, snapshot_run
 from . import avvp_eval, avvp_train
 from .optim import count_params
@@ -88,6 +89,7 @@ def evaluate(estep, tr, fr, state, dataset, eval_csv_dir, *, logger=None,
 
 def main(argv=None, cfg: AVVPModelConfig | None = None):
     args = parse_args(argv)
+    enable_persistent_cache()
     cfg = cfg or AVVPModelConfig()
     rng = jax.random.PRNGKey(args.seed)
     params, state = avvp_model.init_avvp_model(rng, cfg)

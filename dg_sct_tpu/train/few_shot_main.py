@@ -21,6 +21,7 @@ import optax
 from ..configs import PretrainModelConfig, TrainConfig
 from ..models import pretrain as PT
 from ..utils import checkpoint as ckpt_lib
+from ..utils.compile_cache import enable_persistent_cache
 from . import losses
 from .pretrain_train import (few_shot_subsample, partition_pretrain_params,
                              soft_cross_entropy)
@@ -144,6 +145,7 @@ def build_datasets(args, cfg):
 
 def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
     args = parse_args(argv)
+    enable_persistent_cache()
     if args.task == "events":
         assert args.dataset == "AVE", "event localization is the AVE task"
     if cfg is None:

@@ -27,6 +27,7 @@ from ..data import ave as ave_data
 from ..data import vggsound as vgg_data
 from ..models import pretrain as PT
 from ..utils import checkpoint as ckpt_lib
+from ..utils.compile_cache import enable_persistent_cache
 from ..utils.metrics_log import MetricsLogger, snapshot_run
 from .pretrain_train import (make_pretrain_eval_step, make_pretrain_step,
                              partition_pretrain_params, weak_accuracy)
@@ -74,6 +75,7 @@ def evaluate(estep, tr, fr, state, dataset, num_frames, *, batch_size=8):
 
 def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
     args = parse_args(argv)
+    enable_persistent_cache()
     if cfg is None:
         classnames = classnames or (
             vgg_data.load_categories(os.path.join(

@@ -24,6 +24,7 @@ from ..data import ave as ave_data
 from ..data import avvp as avvp_data
 from ..models import pretrain as PT
 from ..utils import checkpoint as ckpt_lib
+from ..utils.compile_cache import enable_persistent_cache
 from .pretrain_train import (make_pretrain_eval_step, partition_pretrain_params,
                              segment_accuracy, weak_accuracy, zero_shot_accuracy,
                              zero_shot_scores)
@@ -54,6 +55,7 @@ def parse_args(argv=None):
 
 def main(argv=None, cfg: PretrainModelConfig | None = None, classnames=None):
     args = parse_args(argv)
+    enable_persistent_cache()
     if args.mode == "eval" and args.dataset == "AVE":
         ds = ave_data.AVEDataset(
             args.meta, "test", frame_dir=args.frames, audio_dir=args.audio,

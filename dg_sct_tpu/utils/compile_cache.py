@@ -1,0 +1,56 @@
+"""Persistent XLA compilation cache for every framework entry point.
+
+Cold-compiling the full AVE forward through the axon tunnel costs minutes
+(measured in perf/compile_floor.py / NOTES.md); the reference never pays
+this because eager torch has no compile step.  We amortize it instead:
+every driver, the serving engine, and the bench call
+:func:`enable_persistent_cache` before their first `jit`, so any program
+previously compiled *on this machine* (same JAX version + HLO + flags)
+loads from disk in seconds.
+
+The cache directory resolves, in order:
+  1. ``$DG_SCT_CACHE_DIR``
+  2. ``$XDG_CACHE_HOME/dg_sct_tpu/xla``
+  3. ``~/.cache/dg_sct_tpu/xla``
+
+A stable per-user location (NOT a fresh tempdir) is the point — the
+round-2 bench used /tmp, which a reboot or machine swap silently wipes.
+"""
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def cache_dir() -> str:
+    d = os.environ.get("DG_SCT_CACHE_DIR")
+    if not d:
+        base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+        d = os.path.join(base, "dg_sct_tpu", "xla")
+    return d
+
+
+def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
+    """Point JAX's persistent compilation cache at a stable directory.
+
+    Idempotent; safe to call from every entry point.  Returns the dir.
+    No-op on CPU-only backends (XLA:CPU AOT artifacts are machine-feature
+    pinned — reloading on a different host spews SIGILL-risk warnings);
+    ``DG_SCT_CACHE_FORCE=1`` overrides.
+    """
+    global _enabled
+    import jax
+
+    d = cache_dir()
+    if _enabled:
+        return d
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("DG_SCT_CACHE_FORCE") != "1"):
+        return d
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    _enabled = True
+    return d
