@@ -21,13 +21,20 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-ljpeg",
-           "-o", _LIB]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+    base = ["g++", "-O3", "-fno-math-errno", "-shared", "-fPIC", "-fopenmp",
+            _SRC, "-ljpeg", "-o", _LIB]
+    # AVX2+FMA first (the resize hot loops are written to auto-vectorize);
+    # fall back to baseline codegen if the toolchain/host rejects it.
+    for extra in (["-march=x86-64-v3"], []):
+        try:
+            subprocess.run(base[:2] + extra + base[2:], check=True,
+                           capture_output=True)
+            return True
+        except subprocess.CalledProcessError:
+            continue
+        except FileNotFoundError:
+            return False
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:

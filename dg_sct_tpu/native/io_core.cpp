@@ -43,10 +43,13 @@ inline double cubic(double x) {
 }
 
 // One axis of PIL's antialiased resampling: precompute per-output-pixel tap
-// windows with support scaled by the downscale factor.
+// windows with support scaled by the downscale factor. Coefficients are
+// computed in double (Pillow-matching) and stored as float: the two passes
+// quantize to 8bpc anyway, so float32 accumulation is below the
+// quantization floor, and float taps let the hot loops run SIMD.
 struct Taps {
-  std::vector<int> bounds;     // (xmin, xsize) per output pixel
-  std::vector<double> coeffs;  // ksize coeffs per output pixel
+  std::vector<int> bounds;    // (xmin, xsize) per output pixel
+  std::vector<float> coeffs;  // ksize coeffs per output pixel
   int ksize = 0;
 };
 
@@ -57,21 +60,21 @@ Taps make_taps(int in_size, int out_size) {
   const double support = 2.0 * filterscale;
   t.ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
   t.bounds.resize(2 * out_size);
-  t.coeffs.assign(static_cast<size_t>(out_size) * t.ksize, 0.0);
+  t.coeffs.assign(static_cast<size_t>(out_size) * t.ksize, 0.0f);
+  std::vector<double> kd(t.ksize);
   for (int xx = 0; xx < out_size; ++xx) {
     double center = (xx + 0.5) * scale;
     int xmin = static_cast<int>(std::max(0.0, std::floor(center - support)));
     int xmax = static_cast<int>(std::min<double>(in_size, std::ceil(center + support)));
     int xsize = xmax - xmin;
-    double* k = &t.coeffs[static_cast<size_t>(xx) * t.ksize];
+    float* k = &t.coeffs[static_cast<size_t>(xx) * t.ksize];
     double ww = 0.0;
     for (int x = 0; x < xsize; ++x) {
-      double w = cubic((x + xmin - center + 0.5) / filterscale);
-      k[x] = w;
-      ww += w;
+      kd[x] = cubic((x + xmin - center + 0.5) / filterscale);
+      ww += kd[x];
     }
-    if (ww != 0.0)
-      for (int x = 0; x < xsize; ++x) k[x] /= ww;
+    for (int x = 0; x < xsize; ++x)
+      k[x] = static_cast<float>(ww != 0.0 ? kd[x] / ww : kd[x]);
     t.bounds[2 * xx] = xmin;
     t.bounds[2 * xx + 1] = xsize;
   }
@@ -82,34 +85,47 @@ Taps make_taps(int in_size, int out_size) {
 void resize_bicubic(const uint8_t* src, int h, int w, float* dst, int out) {
   Taps tw = make_taps(w, out);
   Taps th = make_taps(h, out);
-  // horizontal pass: (h, out, 3)
-  std::vector<float> tmp(static_cast<size_t>(h) * out * 3);
+  const int out3 = out * 3;
+  // horizontal pass: (h, out, 3). The row is converted u8->f32 once so the
+  // tap loop is a pure float FMA chain.
+  std::vector<float> tmp(static_cast<size_t>(h) * out3);
+  std::vector<float> rowf(static_cast<size_t>(w) * 3);
   for (int y = 0; y < h; ++y) {
     const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
-    float* trow = &tmp[static_cast<size_t>(y) * out * 3];
+    for (int i = 0; i < w * 3; ++i) rowf[i] = row[i];  // vectorized convert
+    float* trow = &tmp[static_cast<size_t>(y) * out3];
     for (int xx = 0; xx < out; ++xx) {
-      int xmin = tw.bounds[2 * xx], xsize = tw.bounds[2 * xx + 1];
-      const double* k = &tw.coeffs[static_cast<size_t>(xx) * tw.ksize];
-      double acc[3] = {0, 0, 0};
-      for (int x = 0; x < xsize; ++x)
-        for (int c = 0; c < 3; ++c)
-          acc[c] += row[(xmin + x) * 3 + c] * k[x];
+      const int xmin = tw.bounds[2 * xx], xsize = tw.bounds[2 * xx + 1];
+      const float* k = &tw.coeffs[static_cast<size_t>(xx) * tw.ksize];
+      const float* p = &rowf[static_cast<size_t>(xmin) * 3];
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f;
+      for (int x = 0; x < xsize; ++x) {
+        const float kx = k[x];
+        a0 += p[x * 3 + 0] * kx;
+        a1 += p[x * 3 + 1] * kx;
+        a2 += p[x * 3 + 2] * kx;
+      }
       // Pillow quantizes to uint8 between the two passes (8bpc fixed point)
-      for (int c = 0; c < 3; ++c)
-        trow[xx * 3 + c] = static_cast<float>(
-            std::min(255.0, std::max(0.0, std::round(acc[c]))));
+      trow[xx * 3 + 0] = std::min(255.0f, std::max(0.0f, std::floor(a0 + 0.5f)));
+      trow[xx * 3 + 1] = std::min(255.0f, std::max(0.0f, std::floor(a1 + 0.5f)));
+      trow[xx * 3 + 2] = std::min(255.0f, std::max(0.0f, std::floor(a2 + 0.5f)));
     }
   }
-  // vertical pass
+  // vertical pass: tap-outer / pixel-inner so each step is a contiguous
+  // width-out3 SIMD axpy on the destination row.
   for (int yy = 0; yy < out; ++yy) {
-    int ymin = th.bounds[2 * yy], ysize = th.bounds[2 * yy + 1];
-    const double* k = &th.coeffs[static_cast<size_t>(yy) * th.ksize];
-    float* drow = dst + static_cast<size_t>(yy) * out * 3;
-    for (int xx = 0; xx < out * 3; ++xx) {
-      double acc = 0.0;
-      for (int y = 0; y < ysize; ++y)
-        acc += tmp[static_cast<size_t>(ymin + y) * out * 3 + xx] * k[y];
-      drow[xx] = static_cast<float>(acc);
+    const int ymin = th.bounds[2 * yy], ysize = th.bounds[2 * yy + 1];
+    const float* k = &th.coeffs[static_cast<size_t>(yy) * th.ksize];
+    float* drow = dst + static_cast<size_t>(yy) * out3;
+    {
+      const float k0 = k[0];
+      const float* trow = &tmp[static_cast<size_t>(ymin) * out3];
+      for (int xx = 0; xx < out3; ++xx) drow[xx] = trow[xx] * k0;
+    }
+    for (int y = 1; y < ysize; ++y) {
+      const float ky = k[y];
+      const float* trow = &tmp[static_cast<size_t>(ymin + y) * out3];
+      for (int xx = 0; xx < out3; ++xx) drow[xx] += trow[xx] * ky;
     }
   }
 }
@@ -136,6 +152,11 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
     const int short_side = std::min<int>(cinfo.image_height, cinfo.image_width);
     int m = 8;
     while (m > 1 && (short_side * (m - 1)) / 8 >= target) --m;
+    // libjpeg-turbo's SIMD IDCT covers 1/8, 2/8, 4/8, 8/8 only; intermediate
+    // m values hit a scalar C path that is SLOWER than full decode (measured
+    // in perf/decode_phases.cpp). Round up to the nearest SIMD-fast scale —
+    // the slightly larger intermediate is cheap for the SIMD resize.
+    m = m <= 1 ? 1 : m <= 2 ? 2 : m <= 4 ? 4 : 8;
     cinfo.scale_num = m;
     cinfo.scale_denom = 8;
   }
