@@ -395,9 +395,10 @@ def main():
         try:
             result["e2e_clips_per_sec"] = round(
                 bench_e2e(cfg, params, state, B, max(M // 2, 2)), 2)
-            # e2e is host-decode-bound: single-thread JPEG decode+resize of a
-            # 10-frame clip is ~64 ms, so a 1-core host caps e2e at ~15 clips/s
-            # regardless of device speed; it scales with decode cores.
+            # e2e is host-decode-bound: the SIMD decode+resize of a 10-frame
+            # clip is ~32 ms, so a 1-core host caps e2e at ~31 clips/s
+            # regardless of device speed (perf/decode_scaling.py measures the
+            # cap and its worker-scaling curve); it scales with decode cores.
             result["host_cores"] = os.cpu_count()
         except Exception as e:
             result["e2e_error"] = f"{type(e).__name__}: {e}"[:120]
