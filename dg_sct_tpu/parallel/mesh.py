@@ -135,6 +135,46 @@ def tp_param_spec(path, leaf, model_size: int):
     return P()
 
 
+# ---------------------------------------------------------------------------
+# Sequence parallelism over the frame/time axis. DG-SCT's towers and adapters
+# are frame-local (every block mixes tokens *within* a frame; cross-modal
+# adapters couple the audio/visual streams of the SAME frame) — temporal
+# mixing happens only in the task heads (TemporalAttention / BiLSTM over T).
+# So sharding the (B, T, ...) batch as P(data, seq) keeps the entire
+# interleaved encoder collective-free, and GSPMD inserts exactly one
+# all-gather along `seq` where the head consumes the full clip. This is the
+# long-clip scale-out path (T frames per clip; AVE T=10): batch parallelism
+# caps at B, seq parallelism rides the frame axis within a clip.
+# ---------------------------------------------------------------------------
+
+SEQ_AXIS = "seq"
+
+
+def make_mesh_2d_seq(data: int, seq: int) -> Mesh:
+    devs = jax.devices()
+    if len(devs) < data * seq:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) > len(devs):
+            devs = cpu
+    if len(devs) < data * seq:
+        raise RuntimeError(f"make_mesh_2d_seq({data},{seq}): only {len(devs)}")
+    return Mesh(np.asarray(devs[: data * seq]).reshape(data, seq),
+                (DATA_AXIS, SEQ_AXIS))
+
+
+def shard_batch_seq(batch, mesh: Mesh):
+    """Device-put a host batch with (B, T, ...) leaves sharded P(data, seq);
+    1-D leaves (labels per clip etc.) shard P(data) only."""
+    def put(x):
+        spec = (P(DATA_AXIS, SEQ_AXIS, *([None] * (x.ndim - 2)))
+                if x.ndim >= 2 else P(DATA_AXIS))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
+
+
 def tp_shard_params(params, mesh: Mesh):
     """Device-put a param tree with Megatron TP sharding over the mesh's
     model axis (data axis left for the batch)."""

@@ -168,3 +168,39 @@ def test_2d_mesh_collectives_in_hlo():
     # grad-free eval with row-parallel fc2/proj must produce partial-sum
     # all-reduces, not just batch-axis gathers
     assert "all-reduce" in hlo
+
+
+def test_seq_parallel_eval_matches():
+    """(4 data x 2 seq) mesh: the (B, T) batch sharded over BOTH clip and
+    frame axes (mesh.shard_batch_seq). The towers/adapters are frame-local so
+    the encoder stays collective-free; GSPMD all-gathers along `seq` only
+    where the temporal head consumes the full clip. Numerics match the
+    single-device eval."""
+    cfg = tiny_cfg()
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    tr, fr = ave_train.partition_params(params)
+    estep = ave_train.make_eval_step(cfg)
+
+    B = 4
+    assert cfg.num_frames % 2 == 0
+    rs = np.random.RandomState(2)
+    gt = np.zeros((B, cfg.num_frames, 29), np.float32)
+    gt[:, :, 3] = 1.0
+    batch = {
+        "wave": jnp.asarray(rs.randn(B, cfg.num_frames, cfg.htsat.frontend.clip_samples).astype(np.float32)),
+        "image": jnp.asarray(rs.rand(B, cfg.num_frames, 64, 64, 3).astype(np.float32)),
+        "gt": jnp.asarray(gt),
+    }
+    single = estep(tr, fr, state, batch)
+
+    m = M.make_mesh_2d_seq(4, 2)
+    rep = jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec())
+    tr_r, fr_r, state_r = (jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep), t) for t in (tr, fr, state))
+    batch_s = M.shard_batch_seq(batch, m)
+    # the (B, T, ...) leaves must really be sharded over both axes
+    assert batch_s["image"].sharding.spec[:2] == (M.DATA_AXIS, M.SEQ_AXIS)
+    sharded = estep(tr_r, fr_r, state_r, batch_s)
+    np.testing.assert_allclose(np.asarray(single["outputs"]["event_scores"]),
+                               np.asarray(sharded["outputs"]["event_scores"]),
+                               atol=1e-4)
