@@ -1,0 +1,44 @@
+#!/bin/bash
+# Serialized TPU measurement queue (1-core host: NEVER run two TPU jobs at
+# once — results contaminate; NOTES.md "Tunnel measurement rules").
+# Runs each step in order, appending JSON/low-noise logs to perf/results_r3/.
+# Usage: bash perf/tpu_queue.sh   (idempotent: skips steps whose log exists)
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p perf/results_r3
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  local log="perf/results_r3/$name.log"
+  if [ -s "$log" ] && grep -q DONE "$log"; then
+    echo "skip $name (done)"; return 0
+  fi
+  echo "=== $name start $(date -u +%H:%M:%S) ===" | tee "$log"
+  timeout "$t" "$@" >> "$log" 2>&1
+  local rc=$?
+  echo "rc=$rc DONE $(date -u +%H:%M:%S)" >> "$log"
+  tail -3 "$log"
+}
+
+# 0. availability gate
+timeout 180 python -c "import jax; print(jax.devices())" || {
+  echo "TPU still unavailable"; exit 1; }
+
+# 1. remote-compile floor (persistent cache off inside the script)
+run compile_floor 3600 python perf/compile_floor.py
+
+# 2. full bench re-run (e2e now has the SIMD decode; int8 headline re-verify)
+run bench_full 5400 python bench.py
+
+# 3. int8 MXU attention probe (compile alone blew 1200 s before): fwd-only
+run int8_attn 5400 env BENCH_INT8_ATTN=1 BENCH_INT8=1 BENCH_TRAIN=0 BENCH_E2E=0 \
+    python bench.py
+
+# 4. batch sweep under int8 for headline margin (fwd-only; reuse the
+# committed B=4-calibrated per-tensor scales — they are batch-agnostic)
+for b in 6 8; do
+  run int8_b$b 5400 env BENCH_BATCH=$b BENCH_INT8=1 BENCH_TRAIN=0 BENCH_E2E=0 \
+      python bench.py
+done
+
+echo "queue complete"
