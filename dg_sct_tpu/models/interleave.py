@@ -72,8 +72,59 @@ def _remat(fn):
     return jax.checkpoint(fn)
 
 
+# GPipe pipelining of the repeated stage-2 pair groups during EVAL forwards
+# (parallel/pipeline.py): pairs become pipeline stages over the mesh's `pipe`
+# axis and the (batch x frames) axis is streamed through in microbatches.
+# Training still uses the unrolled/scanned paths (BN-state collection and
+# per-block drop_path rng are batch-synchronous there).
+PIPELINE_MESH = None
+PIPELINE_MICRO = None        # microbatches; default = pipe-axis size
+
+
+def set_pipeline(mesh, n_micro: int | None = None) -> None:
+    """Enable (mesh) / disable (None) pipelined stage-2 eval. `mesh` must
+    carry a `pipe` axis (parallel.pipeline.PIPE_AXIS) whose size divides the
+    stage's pair count; batch*frames must divide n_micro."""
+    global PIPELINE_MESH, PIPELINE_MICRO
+    PIPELINE_MESH = mesh
+    PIPELINE_MICRO = n_micro
+
+
+ADKEYS = ("a_p1", "v_p1", "a_p2", "v_p2")
+
+
 def _tree_stack(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _build_pair_stack(params, state, s_idx, pairs, vplan, aplan):
+    """Stack the params/state of repeated pair-of-group blocks along a new
+    leading n_pairs axis — shared layout for the lax.scan path and the GPipe
+    path. Returns (stacked slots, per-position metas, k2)."""
+    k2 = len(pairs[0])
+    vblocks = params["swin"]["layers"][s_idx]["blocks"]
+    ablocks = params["htsat"]["layers"][s_idx]["blocks"]
+    stacked, metas = [], []
+    for p in range(k2):
+        entries = [pair[p] for pair in pairs]
+        slot = {"v": _tree_stack([vblocks[vb] for vb, _, _ in entries]),
+                "v_dpr": jnp.asarray([vplan[vb]["dpr"] for vb, _, _ in entries],
+                                     jnp.float32)}
+        if entries[0][2] is None:
+            metas.append((vplan[entries[0][0]], None))
+        else:
+            slot["a"] = _tree_stack([ablocks[ab] for _, ab, _ in entries])
+            slot["a_dpr"] = jnp.asarray([aplan[ab]["dpr"] for _, ab, _ in entries],
+                                        jnp.float32)
+            slot["ad"] = {kk: _tree_stack([params["adapters"][kk][ai]
+                                           for _, _, ai in entries])
+                          for kk in ADKEYS}
+            slot["ast"] = {kk: _tree_stack([state["adapters"][kk][ai]
+                                            for _, _, ai in entries])
+                           for kk in ADKEYS}
+            metas.append((vplan[entries[0][0]], aplan[entries[0][1]]))
+        stacked.append(slot)
+    return stacked, metas, k2
 
 
 def _detect_scan_pairs(stage, vplan, aplan):
@@ -239,38 +290,14 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
             return None
         return jax.random.fold_in(tower_rng, blk_counter)
 
-    ADKEYS = ("a_p1", "v_p1", "a_p2", "v_p2")
-
     def run_stage_scanned(s_idx, pairs, f_v, f_a, base_counter):
         """lax.scan over stacked pair-of-group params: one trace of the pair
         body instead of `n_pairs` unrolled copies (stage-2 compile time)."""
         nonlocal a_maps, v_maps
         k2 = len(pairs[0])
         n_pairs = len(pairs)
-        vblocks = params["swin"]["layers"][s_idx]["blocks"]
-        ablocks = params["htsat"]["layers"][s_idx]["blocks"]
-        vplan, aplan = vis_plan[s_idx], aud_plan[s_idx]
-
-        stacked, metas = [], []
-        for p in range(k2):
-            entries = [pair[p] for pair in pairs]
-            slot = {"v": _tree_stack([vblocks[vb] for vb, _, _ in entries]),
-                    "v_dpr": jnp.asarray([vplan[vb]["dpr"] for vb, _, _ in entries],
-                                         jnp.float32)}
-            if entries[0][2] is None:
-                metas.append((vplan[entries[0][0]], None))
-            else:
-                slot["a"] = _tree_stack([ablocks[ab] for _, ab, _ in entries])
-                slot["a_dpr"] = jnp.asarray([aplan[ab]["dpr"] for _, ab, _ in entries],
-                                            jnp.float32)
-                slot["ad"] = {kk: _tree_stack([params["adapters"][kk][ai]
-                                               for _, _, ai in entries])
-                              for kk in ADKEYS}
-                slot["ast"] = {kk: _tree_stack([state["adapters"][kk][ai]
-                                                for _, _, ai in entries])
-                               for kk in ADKEYS}
-                metas.append((vplan[entries[0][0]], aplan[entries[0][1]]))
-            stacked.append(slot)
+        stacked, metas, _ = _build_pair_stack(params, state, s_idx, pairs,
+                                              vis_plan[s_idx], aud_plan[s_idx])
 
         def body(carry, xs_t):
             f_v, f_a = carry
@@ -311,9 +338,55 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
         v_maps = jax.tree_util.tree_map(lambda x: x[-1], st_maps[1])
         return f_v, f_a
 
+    def run_stage_pipelined(s_idx, pairs, f_v, f_a):
+        """GPipe the repeated pairs over PIPELINE_MESH's pipe axis (eval
+        only): each pair is a pipeline stage, the (batch x frames) axis
+        streams through in microbatches, last-pair spatial maps ride the
+        carry so pooling weights come out per-sample."""
+        nonlocal a_maps, v_maps
+        from ..parallel import pipeline as PPL
+        stacked, metas, k2 = _build_pair_stack(params, state, s_idx, pairs,
+                                               vis_plan[s_idx], aud_plan[s_idx])
+        n_micro = PIPELINE_MICRO or PIPELINE_MESH.shape[PPL.PIPE_AXIS]
+        n = f_v.shape[0]
+        if n % n_micro:
+            raise ValueError(f"batch*frames={n} not divisible by "
+                             f"n_micro={n_micro}")
+        mb = n // n_micro
+        split = lambda x: x.reshape((n_micro, mb) + x.shape[1:])
+        mbs = (split(f_v), split(f_a),
+               jnp.zeros((n_micro, mb, 1, f_a.shape[1]), f_a.dtype),
+               jnp.zeros((n_micro, mb, 1, f_v.shape[1]), f_v.dtype))
+
+        def pair_body(st, carry):
+            fv, fa, am, vm = carry
+            for p in range(k2):
+                vmeta, ameta = metas[p]
+                sp = st[p]
+                if ameta is None:
+                    fv = S.block(sp["v"], fv, vmeta, train=False)
+                else:
+                    fv, fa, am, vm, _ = paired_step_impl(
+                        (sp["v"], sp["a"], sp["ad"]), sp["ast"], fv, fa, None,
+                        vmeta, ameta, v_dpr=sp["v_dpr"], a_dpr=sp["a_dpr"])
+            return (fv, fa, am, vm)
+
+        f_v, f_a, am, vm = PPL.gpipe(pair_body, stacked, mbs, PIPELINE_MESH)
+        merge = lambda x: x.reshape((n,) + x.shape[2:])
+        a_maps, v_maps = merge(am), merge(vm)
+        return merge(f_v), merge(f_a)
+
     for s_idx, stage in enumerate(layout):
+        if PIPELINE_MESH is not None and not train:
+            from ..parallel import pipeline as PPL
+            ppairs = _detect_scan_pairs(stage, vis_plan[s_idx], aud_plan[s_idx])
+            if (ppairs is not None
+                    and len(ppairs) % PIPELINE_MESH.shape[PPL.PIPE_AXIS] == 0):
+                blk_counter += len(ppairs) * len(ppairs[0])
+                f_v, f_a = run_stage_pipelined(s_idx, ppairs, f_v, f_a)
+                stage = []
         pairs = (_detect_scan_pairs(stage, vis_plan[s_idx], aud_plan[s_idx])
-                 if SCAN_REPEATED_STAGES else None)
+                 if SCAN_REPEATED_STAGES and stage else None)
         if pairs is not None:
             base = blk_counter
             blk_counter += len(pairs) * len(pairs[0])

@@ -147,3 +147,49 @@ def test_gpipe_gradients_match_sequential():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-5),
         g_pipe, g_seq)
+
+
+def test_interleave_pipelined_eval_matches():
+    """Full-model integration: interleave.set_pipeline routes stage-2's
+    repeated pairs through gpipe during eval; outputs (incl. the last-pair
+    spatial pooling maps) match the unrolled forward."""
+    from dg_sct_tpu.configs import (AVEModelConfig, AdapterConfig,
+                                    AudioFrontendConfig, HTSATConfig,
+                                    SwinV2Config)
+    from dg_sct_tpu.models import ave, interleave
+
+    frontend = AudioFrontendConfig(sample_rate=3200, clip_seconds=1, n_fft=256,
+                                   hop_size=320, mel_bins=16, fmax=1500.0,
+                                   spec_size=32, time_drop_width=8)
+    swin = SwinV2Config(img_size=64, patch_size=4, embed_dim=16,
+                        depths=(1, 1, 6, 1), num_heads=(2, 2, 2, 2),
+                        window_size=4, drop_path_rate=0.0)
+    htsat = HTSATConfig(spec_size=32, patch_size=4, embed_dim=8,
+                        depths=(1, 1, 2, 1), num_heads=(2, 2, 2, 2),
+                        window_size=4, drop_path_rate=0.0, frontend=frontend)
+    cfg = AVEModelConfig(swin=swin, htsat=htsat,
+                         adapter=AdapterConfig(reduction_factor=2, num_tokens=4),
+                         num_frames=2)
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+
+    B = 2
+    rs = np.random.RandomState(0)
+    wave = jnp.asarray(rs.randn(B, cfg.num_frames,
+                                cfg.htsat.frontend.clip_samples).astype(np.float32))
+    images = jnp.asarray(rs.rand(B, cfg.num_frames, 64, 64, 3).astype(np.float32))
+
+    ref, _ = ave.forward(params, state, wave, images, cfg, train=False)
+
+    mesh = make_mesh(2, axis=PP.PIPE_AXIS)
+    interleave.set_pipeline(mesh, n_micro=2)
+    try:
+        out, _ = ave.forward(params, state, wave, images, cfg, train=False)
+    finally:
+        interleave.set_pipeline(None)
+
+    np.testing.assert_allclose(np.asarray(out["event_scores"]),
+                               np.asarray(ref["event_scores"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["is_event_scores"]),
+                               np.asarray(ref["is_event_scores"]),
+                               rtol=1e-4, atol=1e-4)
