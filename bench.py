@@ -10,8 +10,9 @@ Measures three things on the attached TPU chip and prints ONE JSON line:
   * `e2e_clips_per_sec`: host-pipeline mode — synthetic JPEG tree decoded by
     the native C++ IO core through `batched_iterator`, overlapping the device
     forward (what BASELINE.md means by "e2e");
-  * `mfu_pct` / `hbm_util_pct`: XLA cost analysis of the forward executable
-    divided by the measured step time (v5e peak: 197 bf16 TFLOP/s, 819 GB/s).
+  * `mfu_pct` / `mfu_vs_achievable_pct`: XLA cost-analysis FLOPs divided by
+    the measured step time, against the nominal v5e peak (197 bf16 TFLOP/s)
+    and the measured shape-mix ceiling respectively (see ACHIEVABLE_FLOPS).
 
 Methodology notes (the tunnel runtime caches identical executions and
 `block_until_ready` does not reliably fence): every timed call uses a DISTINCT
