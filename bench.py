@@ -25,7 +25,9 @@ per-chip eval throughput / 62.5.
 Env knobs: BENCH_BATCH (4), BENCH_ITERS (32), BENCH_TRAIN=0/1 (1),
 BENCH_E2E=0/1 (1), BENCH_PALLAS=0/1 (0), BENCH_INT8=0/1 (1; int8 frozen-tower
 serving path, static scales cached in perf/bench_ascales.json),
-BENCH_INT8_RECAL=0/1 (0), BENCH_INT8_ATTN=0/1 (0; int8 MXU attention core for
+BENCH_INT8_RECAL=0/1 (0), BENCH_INT8_ADAPTERS=0/1 (0; additionally quantize
+the adapter stack's fat affines — static weights in serving; measured
+opt-in), BENCH_INT8_ATTN=0/1 (0; int8 MXU attention core for
 the quantized towers — opt-in until its compile cost is bounded),
 BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8), BENCH_REMAT=none|full|dots
 (none).
@@ -336,12 +338,21 @@ def main():
     # Scales for the bench's deterministic seed-0 params are cached in
     # perf/bench_ascales.json (committed) so a fresh machine skips the ~5 min
     # calibration compile; BENCH_INT8_RECAL=1 regenerates it.
-    int8_clips = int8_mfu = int8_mfu_ach = float("nan")
+    int8_variants = []  # (name, towers, scale_file)
     if os.environ.get("BENCH_INT8", "1") == "1":
+        int8_variants.append(
+            ("int8_frozen_towers", ("swin", "htsat"), "bench_ascales.json"))
+    if os.environ.get("BENCH_INT8_ADAPTERS", "0") == "1":
+        # serving config: adapters are static weights too (ops/quant.py)
+        int8_variants.append(
+            ("int8_towers_adapters", ("swin", "htsat", "adapters"),
+             "bench_ascales_adapters.json"))
+    int8_res = {}  # name -> (clips, mfu, mfu_ach)
+    for name, towers, sname in int8_variants:
         try:
             from dg_sct_tpu.ops import quant
             sfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "perf", "bench_ascales.json")
+                                 "perf", sname)
             scales = None
             if (os.path.exists(sfile)
                     and os.environ.get("BENCH_INT8_RECAL", "0") != "1"):
@@ -355,29 +366,31 @@ def main():
                 ci = jnp.asarray(rs.rand(B, cfg.num_frames, cfg.swin.img_size,
                                          cfg.swin.img_size, 3)
                                  .astype(np.float32)).astype(jnp.bfloat16)
-                scales = quant.calibrate_ave(params, state, cfg, cw, ci)
+                scales = quant.calibrate_ave(params, state, cfg, cw, ci,
+                                             towers=towers)
                 with open(sfile, "w") as f:
                     json.dump(scales, f)
             with jax.default_device(jax.devices("cpu")[0]):
                 qparams = quant.quantize_eval_params(
-                    jax.device_get(params), act_scales=scales)
+                    jax.device_get(params), towers=towers, act_scales=scales)
             qparams = jax.device_put(qparams, tpu)
-            int8_clips, int8_mfu, int8_mfu_ach = bench_forward(
+            int8_res[name] = bench_forward(
                 cfg, qparams, state, B, M, achievable=ACHIEVABLE_FLOPS_INT8)
             del qparams
         except Exception as e:
-            print(f"# int8 bench failed: {type(e).__name__}: {e}", flush=True)
+            print(f"# {name} bench failed: {type(e).__name__}: {e}", flush=True)
+    int8_clips, int8_mfu, int8_mfu_ach = int8_res.get(
+        "int8_frozen_towers", (float("nan"),) * 3)
 
     import math
-    # headline = the best accuracy-bounded serving config (int8 frozen towers
-    # when it wins — tests/test_quant.py bounds its logit drift); both configs
+    # headline = the best accuracy-bounded serving config (int8 variants when
+    # they win — tests/test_quant.py bounds their logit drift); all configs
     # are reported raw alongside.
-    if int8_clips == int8_clips and int8_clips > clips_per_sec:
-        best, best_cfg = int8_clips, "int8_frozen_towers"
-        best_mfu, best_mfu_ach = int8_mfu, int8_mfu_ach
-    else:
-        best, best_cfg = clips_per_sec, "bf16"
-        best_mfu, best_mfu_ach = mfu, mfu_ach
+    best, best_cfg = clips_per_sec, "bf16"
+    best_mfu, best_mfu_ach = mfu, mfu_ach
+    for name, (c, m_, ma) in int8_res.items():
+        if c == c and c > best:
+            best, best_cfg, best_mfu, best_mfu_ach = c, name, m_, ma
     result = {
         "metric": "ave_clip_pairs_per_sec_per_chip",
         "value": round(best, 2),
@@ -390,6 +403,9 @@ def main():
         "bf16_clips_per_sec": round(clips_per_sec, 2),
         "int8_clips_per_sec": round(int8_clips, 2),
     }
+    if "int8_towers_adapters" in int8_res:
+        result["int8_adapters_clips_per_sec"] = round(
+            int8_res["int8_towers_adapters"][0], 2)
     result = {k: v for k, v in result.items()
               if not (isinstance(v, float) and math.isnan(v))}
     if os.environ.get("BENCH_E2E", "1") == "1":

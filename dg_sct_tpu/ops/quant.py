@@ -32,6 +32,12 @@ def _is_linear_params(d) -> bool:
             and getattr(d["kernel"], "ndim", 0) == 2)
 
 
+# Adapter sublayers whose kernels are consumed by raw ["kernel"] einsums in
+# models/adapter.py (the stage-1 FLOP-reorder branch), not via ops.basic.linear
+# — they must stay in compute dtype when quantizing the adapter stack.
+ADAPTER_SKIP_KEYS = ("token_resample", "chan_align")
+
+
 def quantize_linear(p, *, sym_clip=127.0):
     """{"kernel": (I,O), "bias"?} -> {"kernel_q": int8, "kscale": f32 (O,), ...}."""
     w = jnp.asarray(p["kernel"], jnp.float32)
@@ -117,14 +123,14 @@ def quantize_tree(tree, *, min_dim=192, skip_keys=(), act_scales=None):
     return _walk_eligible(tree, visit, min_dim=min_dim, skip_keys=skip_keys)
 
 
-def attach_qtags(tree, *, min_dim=192):
+def attach_qtags(tree, *, min_dim=192, skip_keys=()):
     """Insert a "qtag" int32 leaf into every eligible linear (calibration)."""
     def visit(node, qid):
         t = dict(node)
         t["qtag"] = jnp.int32(qid)
         return t
 
-    return _walk_eligible(tree, visit, min_dim=min_dim)
+    return _walk_eligible(tree, visit, min_dim=min_dim, skip_keys=skip_keys)
 
 
 def calibrate_ave(params, state, cfg, wave, images, *,
@@ -135,16 +141,23 @@ def calibrate_ave(params, state, cfg, wave, images, *,
     bindings with a recorder that emits (qtag, absmax(x)) as auxiliary jit
     outputs (trace-time collection), runs the forward on the given batch, and
     returns {qid: activation absmax}. Call per calibration batch and take the
-    running max; feed into `quantize_eval_params(act_scales=...)`."""
+    running max; feed into `quantize_eval_params(act_scales=...)`.
+
+    `towers` may include "adapters": in serving EVERY weight is static, so the
+    adapter stack's fat dim x dim affines are int8-eligible too (its
+    raw-einsum sublayers are excluded via ADAPTER_SKIP_KEYS). Adapter qids are
+    appended after the tower qids (same walk order), so tower-only scale files
+    stay valid prefixes."""
     import numpy as np
 
-    from ..models import ave, htsat as H, swinv2 as S
+    from ..models import adapter as AD, ave, htsat as H, swinv2 as S
     from . import basic, windows as W
 
     tagged = dict(params)
     # single walk over an ordered {tower: tree} dict keeps qids global
     sub = _ordered_towers(params, towers)
-    tagged.update(attach_qtags(sub, min_dim=min_dim))
+    tagged.update(attach_qtags(sub, min_dim=min_dim,
+                               skip_keys=ADAPTER_SKIP_KEYS))
 
     recs = []
     orig = basic.linear
@@ -163,7 +176,7 @@ def calibrate_ave(params, state, cfg, wave, images, *,
         ams = jnp.stack([a for _, a in recs])
         return tags, ams
 
-    mods = (basic, W, H, S)
+    mods = (basic, W, H, S, AD)  # AD: adapter.py binds `linear` at import
     saved = [m.linear for m in mods]
     for m in mods:
         m.linear = rec
@@ -185,13 +198,18 @@ def _ordered_towers(params, towers):
 
 def quantize_eval_params(params, *, towers=("swin", "htsat"), min_dim=192,
                          act_scales=None):
-    """Quantize the frozen towers of a full AVE param tree for eval/serving.
+    """Quantize the static weights of a full AVE param tree for eval/serving.
 
-    Adapters/heads are left in compute dtype (they carry the trained task
-    quality and are a small FLOP share). cpb MLPs (2->512->heads) and other
-    skinny linears are filtered out by min_dim. With `act_scales` from
+    Default covers the frozen towers. Pass towers=("swin", "htsat",
+    "adapters") to also quantize the adapter stack's fat affines — legitimate
+    in serving where every weight is static (the raw-einsum sublayers in
+    ADAPTER_SKIP_KEYS stay in compute dtype; accuracy is bounded by
+    tests/test_quant.py). Heads stay fp: they are a negligible FLOP share
+    (10-frame 512-d streams). cpb MLPs (2->512->heads) and other skinny
+    linears are filtered out by min_dim. With `act_scales` from
     `calibrate_ave`, activations use static scales (the fast path)."""
     out = dict(params)
     out.update(quantize_tree(_ordered_towers(params, towers),
-                             min_dim=min_dim, act_scales=act_scales))
+                             min_dim=min_dim, act_scales=act_scales,
+                             skip_keys=ADAPTER_SKIP_KEYS))
     return out

@@ -36,7 +36,8 @@ from .ops.basic import normalize_frames_u8
 class AVEInferenceEngine:
     def __init__(self, cfg: AVEModelConfig, params, state, *, batch_size: int = 4,
                  chunk: int = 8, compute_dtype=jnp.bfloat16, prefetch: int = 2,
-                 num_workers: int = 8, int8_towers: bool = False):
+                 num_workers: int = 8, int8_towers: bool = False,
+                 int8_adapters: bool = False, act_scales=None):
         from .utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
         self.cfg = cfg
@@ -51,10 +52,17 @@ class AVEInferenceEngine:
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
         self.params = cast(params)
         self.state = cast(state)
-        if int8_towers:
-            # frozen towers on the v5e int8 MXU path (ops/quant.py)
+        if int8_towers or int8_adapters:
+            # static weights on the v5e int8 MXU path (ops/quant.py); in
+            # serving the adapters are static too, so `int8_adapters` extends
+            # coverage to their fat affines. `act_scales` (from
+            # quant.calibrate_ave) enables the fast static-activation-scale
+            # mode.
             from .ops.quant import quantize_eval_params
-            self.params = quantize_eval_params(self.params)
+            towers = (("swin", "htsat", "adapters") if int8_adapters
+                      else ("swin", "htsat"))
+            self.params = quantize_eval_params(self.params, towers=towers,
+                                               act_scales=act_scales)
 
         def stream_fn(params, state, waves, imgs):
             def body(carry, wi):

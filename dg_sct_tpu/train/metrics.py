@@ -62,7 +62,8 @@ def f_measure(pred_probs, gt, beta2=0.3, pr_num=255):
         tp = (binary * gt[i][None, :]).sum(-1)
         prec = tp / (binary.sum(-1) + 1e-20)
         rec = tp / (gt[i].sum() + 1e-20)
-        f = (1 + beta2) * prec * rec / (beta2 * prec + rec)
+        with np.errstate(invalid="ignore"):  # 0/0 at empty thresholds -> nan
+            f = (1 + beta2) * prec * rec / (beta2 * prec + rec)
         avg_f += np.nan_to_num(f)
         img_num += 1
     if img_num == 0:

@@ -106,3 +106,47 @@ def test_ave_forward_int8_towers_agree():
     c = np.asarray(out_s["event_scores"], np.float32)
     assert np.isfinite(c).all()
     assert np.abs(a - c).max() / denom < 0.3, np.abs(a - c).max() / denom
+
+
+def test_ave_forward_int8_adapters_agree():
+    """The towers+adapters serving config: the adapter stack's fat affines go
+    int8 too (static in serving), its raw-einsum sublayers
+    (token_resample/chan_align) stay fp, and the logit drift stays bounded —
+    calibrated static scales included (the bench BENCH_INT8_ADAPTERS path)."""
+    cfg = tiny_cfg()
+    towers = ("swin", "htsat", "adapters")
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(5)
+    wave = jnp.asarray(rs.randn(2, cfg.num_frames,
+                                cfg.htsat.frontend.clip_samples).astype(np.float32) * 0.1)
+    imgs = jnp.asarray(rs.rand(2, cfg.num_frames, cfg.swin.img_size,
+                               cfg.swin.img_size, 3).astype(np.float32))
+    out_fp, _ = ave.forward(params, state, wave, imgs, cfg, train=False)
+
+    qparams = quant.quantize_eval_params(params, towers=towers, min_dim=16)
+    for ad in qparams["adapters"]["v_p1"]:
+        assert "kernel_q" in ad["aff_video_1"]       # fat affine quantized
+        assert "kernel" in ad["token_resample"]      # raw-einsum layer: fp
+        assert "kernel" in ad["chan_align"]
+        assert ad["down"]["kernel"].ndim == 3        # grouped conv untouched
+    out_q, _ = ave.forward(qparams, state, wave, imgs, cfg, train=False)
+    a = np.asarray(out_fp["event_scores"], np.float32)
+    b = np.asarray(out_q["event_scores"], np.float32)
+    denom = max(np.abs(a).max(), 1e-3)
+    assert np.abs(a - b).max() / denom < 0.3, np.abs(a - b).max() / denom
+
+    # calibrated static-scale path: tower qids must stay a stable prefix so
+    # tower-only scale files remain valid, and adapter linears get scales too
+    scales_t = quant.calibrate_ave(params, state, cfg, wave, imgs, min_dim=16)
+    scales = quant.calibrate_ave(params, state, cfg, wave, imgs,
+                                 towers=towers, min_dim=16)
+    assert len(scales) > len(scales_t)
+    for qid, v in scales_t.items():
+        assert np.isclose(scales[qid], v, rtol=1e-5), (qid, v, scales[qid])
+    sparams = quant.quantize_eval_params(params, towers=towers, min_dim=16,
+                                         act_scales=scales)
+    assert "ascale" in sparams["adapters"]["v_p1"][0]["aff_video_1"]
+    out_s, _ = ave.forward(sparams, state, wave, imgs, cfg, train=False)
+    c = np.asarray(out_s["event_scores"], np.float32)
+    assert np.isfinite(c).all()
+    assert np.abs(a - c).max() / denom < 0.35, np.abs(a - c).max() / denom
