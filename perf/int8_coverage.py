@@ -66,6 +66,7 @@ def analyze_dtype(txt, label):
 
 def main():
     import jax
+    jax.config.update("jax_platforms", "cpu")  # axon plugin overrides env alone
     import jax.numpy as jnp
     from dg_sct_tpu.configs import AVEModelConfig
     from dg_sct_tpu.models import ave
