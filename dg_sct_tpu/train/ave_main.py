@@ -135,7 +135,7 @@ def main(argv=None, cfg: AVEModelConfig | None = None):
             if i % 50 == 0:
                 print(f"epoch {epoch} step {i}: loss={float(m['loss']):.4f}")
                 logger.log({"loss": float(m["loss"]), "acc": float(m["acc"])},
-                           step=epoch * steps_per_epoch + i, prefix="train/")
+                           step=(epoch - 1) * steps_per_epoch + i, prefix="train/")
         acc = evaluate(estep, tr, fr, state,
                        ave_data.batched_iterator(test_ds, tcfg.batch_size, shuffle=False))
         print(f"epoch {epoch}: val acc {acc:.2f}")

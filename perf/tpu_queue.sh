@@ -35,16 +35,18 @@ run int8_adapters 5400 env BENCH_INT8_ADAPTERS=1 BENCH_INT8=1 BENCH_TRAIN=0 \
 
 # 4. batch sweep under int8 for headline margin (fwd-only; reuse the
 # committed B=4-calibrated per-tensor scales — they are batch-agnostic)
+# (BENCH_FWD=0: the sweep only needs the int8 number — skip the bf16
+# forward's extra compile at each batch size)
 for b in 6 8; do
-  run int8_b$b 5400 env BENCH_BATCH=$b BENCH_INT8=1 BENCH_TRAIN=0 BENCH_E2E=0 \
-      python bench.py
+  run int8_b$b 5400 env BENCH_BATCH=$b BENCH_FWD=0 BENCH_INT8=1 BENCH_TRAIN=0 \
+      BENCH_E2E=0 python bench.py
 done
 
 # 5. if the adapters config won step 3, sweep its batch too
 if grep -q '"int8_adapters_clips_per_sec"' perf/results_r3/int8_adapters.log \
     2>/dev/null; then
-  run int8_adapters_b8 5400 env BENCH_BATCH=8 BENCH_INT8_ADAPTERS=1 \
-      BENCH_INT8=1 BENCH_TRAIN=0 BENCH_E2E=0 python bench.py
+  run int8_adapters_b8 5400 env BENCH_BATCH=8 BENCH_FWD=0 BENCH_INT8=0 \
+      BENCH_INT8_ADAPTERS=1 BENCH_TRAIN=0 BENCH_E2E=0 python bench.py
 fi
 
 # 6. int8 MXU attention probe (compile alone blew 1200 s before): fwd-only
