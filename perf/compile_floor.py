@@ -66,8 +66,9 @@ xb = jax.device_put(jnp.ones((2, res[0] * res[1], dim), jnp.bfloat16), tpu)
 
 
 def one_block(x):
-    def attn(xw, mask=None):
-        return W.window_attention_v2(ap, xw, num_heads=heads, ws=ws, mask=mask)
+    def attn(xw, mask=None, nW=1):
+        return W.window_attention_v2(ap, xw, num_heads=heads, ws=ws, mask=mask,
+                                     nW=nW)
     y = x + W.shifted_window_attention(attn, layer_norm(ln, x),
                                        H=res[0], W=res[1], ws=ws, shift=0)
     return (y + mlp(mp, layer_norm(ln, y))).sum()
