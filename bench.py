@@ -1,61 +1,125 @@
 """Benchmark: end-to-end 10-s AV clip pairs/sec on the flagship AVE model.
 
-Measures three things on the attached TPU chip and prints ONE JSON line:
-  * `value` (headline): eval-forward clip pairs/sec/chip of the best
-    accuracy-bounded serving config (bf16, or int8 frozen towers — both
-    reported raw; `serving_config` names the winner) with device-resident
-    inputs (compute ceiling of the serving path);
-  * `train_clips_per_sec`: full jitted training-step throughput (fwd + bwd +
-    Adam update, rematerialized interleave);
-  * `e2e_clips_per_sec`: host-pipeline mode — synthetic JPEG tree decoded by
-    the native C++ IO core through `batched_iterator`, overlapping the device
-    forward (what BASELINE.md means by "e2e");
-  * `mfu_pct` / `mfu_vs_achievable_pct`: XLA cost-analysis FLOPs divided by
-    the measured step time, against the nominal v5e peak (197 bf16 TFLOP/s)
-    and the measured shape-mix ceiling respectively (see ACHIEVABLE_FLOPS).
+Measures, on the attached TPU chip, in HEADLINE-FIRST order (so a timeout
+anywhere still leaves a parseable result on stdout — round 3's official run
+was killed mid-way and recorded nothing):
+
+  1. int8 serving forward (frozen towers + adapter affines quantized with
+     static calibrated scales — the best accuracy-bounded serving config,
+     drift bounded by tests/test_quant.py) -> emits a headline JSON line;
+  2. bf16 forward (reference config)        -> emits an enriched line;
+  3. full jitted train step (fwd+bwd+Adam)  -> emits an enriched line;
+  4. e2e host-pipeline mode (native JPEG decode + int16 PCM ingest
+     overlapping the device forward)        -> emits the final line.
+
+Every line is the complete result-so-far; the driver parses the LAST JSON
+line, so each emission strictly improves on the previous one.  All stderr
+(XLA/glog spam) is redirected to perf/bench_stderr.log so stdout carries
+only JSON.
+
+Fields: `value` is eval-forward clip pairs/sec/chip of the best measured
+serving config (`serving_config` names it); `mfu_pct` divides XLA
+cost-analysis FLOPs by step time against the nominal v5e peak (197 bf16
+TFLOP/s); `mfu_vs_achievable_pct` against the measured shape-mix matmul
+ceiling of that config (see ACHIEVABLE_FLOPS*); `mfu_ceiling_pct` is that
+ceiling expressed as nominal MFU — the max mfu_pct the program could show
+with zero non-matmul time on this tunnel'd chip.
 
 Methodology notes (the tunnel runtime caches identical executions and
 `block_until_ready` does not reliably fence): every timed call uses a DISTINCT
 pre-staged device input and the full output is fetched to host inside the
-timed region.
+timed region.  All M steps run inside ONE jitted lax.scan so the tunnel's
+~25 ms per-call dispatch RPC is paid once (absent on attached hardware).
 
 Baseline: 500 clip pairs/sec on v5e-8 (= 62.5/chip); vs_baseline is measured
 per-chip eval throughput / 62.5.
 
+Chip coordination: takes an exclusive flock on /tmp/tpu.lock (shared with
+perf/tpu_queue.sh) before touching the device; waits up to BENCH_LOCK_WAIT
+(900 s) then proceeds with a note.  NEVER run two TPU jobs at once on this
+1-core host — compiles blow up 3-8x and timings contaminate (NOTES.md).
+
 Env knobs: BENCH_BATCH (4), BENCH_ITERS (32), BENCH_TRAIN=0/1 (1),
-BENCH_E2E=0/1 (1), BENCH_PALLAS=0/1 (0), BENCH_INT8=0/1 (1; int8 frozen-tower
-serving path, static scales cached in perf/bench_ascales.json),
-BENCH_INT8_RECAL=0/1 (0), BENCH_INT8_ADAPTERS=0/1 (0; additionally quantize
-the adapter stack's fat affines — static weights in serving; measured
-opt-in), BENCH_INT8_ATTN=0/1 (0; int8 MXU attention core for
-the quantized towers — opt-in until its compile cost is bounded),
+BENCH_E2E=0/1 (1), BENCH_PALLAS=0/1 (0), BENCH_INT8=0/1 (1; the
+towers+adapters serving config), BENCH_INT8_TOWERS=0/1 (0; additionally
+measure the towers-only int8 variant — a separate ~7 min cold compile),
+BENCH_INT8_RECAL=0/1 (0), BENCH_INT8_ATTN=0/1 (0; int8 MXU attention core —
+measured a loss on hardware, perf/results_r3/int8_attn.log),
 BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8), BENCH_REMAT=none|full|dots
-(none).
+(none), BENCH_KEEP_STDERR=0/1 (0), BENCH_FWD=0/1 (1; the bf16 forward).
 """
 from __future__ import annotations
 
 import functools
 import json
+import math
 import os
+import sys
 import time
 
 import numpy as np
 
 V5E_PEAK_FLOPS = 197e12   # bf16 nominal
 # Measured big-matmul ceiling through this tunnel (perf/roofline.py, output
-# properly fenced by fetching a scalar reduction — round-2's 85 TF/s was
-# under-fenced): 114 TF/s bf16 = 58% of nominal; int8 168 TOPS. The model's
-# matmul-only ceiling at its TRUE GEMM shapes/mix (perf/flop_mix.py: 3.7%
-# skinny attention pairs @ 14 TF/s, 94% fat @ 137 TF/s) is ~103 TF/s.
-# `mfu_vs_achievable_pct` is MFU against that shape-mix ceiling; `mfu_pct`
-# stays against the nominal spec.
+# properly fenced by fetching a scalar reduction): 114 TF/s bf16 = 58% of
+# nominal; int8 168 TOPS. The model's matmul-only ceiling at its TRUE GEMM
+# shapes/mix (perf/flop_mix.py: 3.7% skinny attention pairs @ 14 TF/s, 94%
+# fat @ 137 TF/s) is ~103 TF/s.
 ACHIEVABLE_FLOPS = 103e12
-# int8 serving config: fat GEMMs 206 TOPS / skinny attention pairs 18 TOPS
-# (perf/roofline.py), conv share stays bf16 -> same shape-mix harmonic mean
-# gives ~146 TF(model-flop)/s. Used only for the int8 run's
-# mfu_vs_achievable_pct so the two configs are judged against their own
-# ceilings.
+# int8 serving config: fat GEMMs 206 TOPS / skinny attention pairs stay bf16
+# at 14 TF/s (the int8 attention core measured a loss on hardware and is off)
+# -> shape-mix harmonic mean ~146 TF(model-flop)/s. Used for the int8 runs'
+# mfu_vs_achievable_pct so each config is judged against its own ceiling.
 ACHIEVABLE_FLOPS_INT8 = 146e12
+
+LOCKFILE = "/tmp/tpu.lock"
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def acquire_tpu_lock(wait_s: float) -> "object | None":
+    """Exclusive advisory lock shared with perf/tpu_queue.sh. Returns the
+    open file (hold it for the process lifetime) or None if the wait timed
+    out (proceed anyway — a stale lock must not kill the official bench)."""
+    import fcntl
+    f = open(LOCKFILE, "w")
+    deadline = time.time() + wait_s
+    while True:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return f
+        except OSError:
+            if time.time() >= deadline:
+                print("# tpu.lock busy after %.0fs wait; proceeding" % wait_s,
+                      file=sys.stderr, flush=True)
+                return None
+            time.sleep(5)
+
+
+_STACK_CACHE: dict = {}
+
+
+def make_stacks(cfg, B, M, reps):
+    """(reps+1) DISTINCT device-resident input stacks (the tunnel caches
+    identical runs). Cached per (B, M): staging ~1.4 GB through the tunnel
+    dominates phase wall-clock, and the int8/bf16 forward phases can share
+    inputs — only the params differ."""
+    import jax
+    import jax.numpy as jnp
+    key = (B, M, reps)
+    if key in _STACK_CACHE:
+        return _STACK_CACHE[key]
+    rs = np.random.RandomState(0)
+    T = cfg.num_frames
+    stacks = []
+    for _ in range(reps + 1):  # +1 warmup stack
+        waves = jnp.asarray((rs.randn(M, B, T, cfg.htsat.frontend.clip_samples) * 0.1)
+                            .astype(np.float32)).astype(jnp.bfloat16)
+        imgs = jnp.asarray(rs.rand(M, B, T, cfg.swin.img_size, cfg.swin.img_size, 3)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        stacks.append((waves, imgs))
+    jax.block_until_ready(stacks)
+    _STACK_CACHE[key] = stacks
+    return stacks
 
 
 def bench_forward(cfg, params, state, B, M, achievable=ACHIEVABLE_FLOPS):
@@ -78,17 +142,8 @@ def bench_forward(cfg, params, state, B, M, achievable=ACHIEVABLE_FLOPS):
         _, outs = jax.lax.scan(body, 0, (waves, imgs))
         return outs
 
-    rs = np.random.RandomState(0)
-    T = cfg.num_frames
-    reps = 3  # DISTINCT input stacks per rep: the tunnel caches identical runs
-    stacks = []
-    for _ in range(reps + 1):  # +1 warmup stack
-        waves = jnp.asarray((rs.randn(M, B, T, cfg.htsat.frontend.clip_samples) * 0.1)
-                            .astype(np.float32)).astype(jnp.bfloat16)
-        imgs = jnp.asarray(rs.rand(M, B, T, cfg.swin.img_size, cfg.swin.img_size, 3)
-                           .astype(np.float32)).astype(jnp.bfloat16)
-        stacks.append((waves, imgs))
-    jax.block_until_ready(stacks)
+    reps = 3
+    stacks = make_stacks(cfg, B, M, reps)
     t0 = time.perf_counter()
     _ = np.asarray(fwd_stream(params, state, *stacks[-1]))  # compile+warm
     bench_forward.compile_s = round(time.perf_counter() - t0, 1)
@@ -102,16 +157,13 @@ def bench_forward(cfg, params, state, B, M, achievable=ACHIEVABLE_FLOPS):
         assert np.isfinite(out).all()
     dt = sorted(times)[len(times) // 2]
     clips_per_sec = B * M / dt
-    waves, imgs = stacks[0]
 
     # MFU from the STREAM executable's cost analysis: XLA counts a scan body
     # ONCE regardless of trip count, so the reported flops ~= one step's and
-    # divide by dt/M. (Round 2 compiled a separate single-step program for
-    # this — a whole extra ~2-4 min cold compile through the tunnel for a
-    # number the stream program already carries.) `bytes accessed` is NOT
-    # reported: XLA cost analysis counts logical bytes pre-fusion, which
-    # overestimates real HBM traffic (round-2 recorded an impossible 117% —
-    # see NOTES.md #2), so no HBM-utilization number is published.
+    # divide by dt/M. `bytes accessed` is NOT reported: XLA cost analysis
+    # counts logical bytes pre-fusion, which overestimates real HBM traffic
+    # (round 2 recorded an impossible 117%), so no HBM-utilization number is
+    # published.
     try:
         ca = fwd_stream.lower(params, state, *stacks[-1]).compile() \
             .cost_analysis()
@@ -126,11 +178,11 @@ def bench_forward(cfg, params, state, B, M, achievable=ACHIEVABLE_FLOPS):
 
 
 def bench_train(B, M):
-    """Training-step throughput at full size (f32 params, bf16 compute):
-    M full steps (fwd + bwd + Adam) chained in one jitted lax.scan with the
-    train state carried and DONATED — same streaming methodology as the
-    forward bench. Remat policy via BENCH_REMAT=full|dots|none (default full;
-    dots OOMs at this size — perf/remat_sweep.py records the sweep)."""
+    """Training-step throughput at full size (f32 trainable params as Adam
+    masters, bf16 compute): M full steps (fwd + bwd + Adam) chained in one
+    jitted lax.scan with the train state carried and DONATED — same streaming
+    methodology as the forward bench. Remat policy via BENCH_REMAT=full|dots|
+    none (default none; perf/remat_sweep.py records the sweep)."""
     import jax
     import jax.numpy as jnp
     from dg_sct_tpu.configs import AVEModelConfig, TrainConfig
@@ -206,11 +258,9 @@ def bench_train(B, M):
     dt = time.perf_counter() - t0
     assert np.isfinite(ls).all()
 
-    # train MFU from the STREAM executable's cost analysis. XLA counts a
-    # scan/while body ONCE regardless of trip count (same behavior the forward
-    # bench works around), so the reported flops ~= one train step's flops and
-    # divide by the per-step time dt/M. AOT re-lower hits the in-process
-    # compile cache — no second tunnel compile.
+    # train MFU from the STREAM executable's cost analysis (XLA counts a scan
+    # body ONCE, so reported flops ~= one step's). AOT re-lower hits the
+    # in-process compile cache — no second tunnel compile.
     try:
         ca = train_stream.lower(tr, fr, state, opt_state, stacked, rngs) \
             .compile().cost_analysis()
@@ -228,16 +278,17 @@ def bench_e2e(cfg, params, state, B, M):
     core + threaded batched_iterator, overlapping the device forward.
 
     Serving ingest path: DCT-scaled decode to uint8 on the host, ImageNet
-    normalize fused on-device (`normalize_frames_u8`); wave ships as int16
-    PCM (the container format of the source audio) and dequantizes on-device
-    — the minimum host work and minimum bytes per clip (4.4 MB u8 frames +
-    2.6 MB i16 wave per B=4 batch). Alongside the raw number the bench
-    measures WHERE the cap is: `e2e_host_pipeline_clips_per_sec` (iterator
-    only — the decode cap, ~30/s/core with the SIMD core) and
-    `e2e_ingest_mb_per_sec` (timed device_put of the exact batch payload).
-    Through this tunnel ingest runs at single-digit MB/s, which caps e2e far
-    below both the decode rate and the device forward; on locally-attached
-    TPU (PCIe, GB/s) the same path is decode-bound."""
+    normalize fused on-device (`normalize_frames_u8`); wave is stored as
+    int16 PCM (the container format of the source audio — data/ave.load_wave
+    passes it through untouched) and dequantizes on-device — the minimum host
+    work and minimum bytes per clip (4.4 MB u8 frames + 2.6 MB i16 wave per
+    B=4 batch). Alongside the raw number the bench measures WHERE the cap is:
+    `e2e_host_pipeline_clips_per_sec` (iterator only — the decode cap,
+    ~30/s/core with the SIMD core) and `e2e_ingest_mb_per_sec` (timed
+    device_put of the exact batch payload). Through this tunnel ingest runs
+    at single-digit MB/s, which caps e2e far below both the decode rate and
+    the device forward; on locally-attached TPU (PCIe, GB/s) the same path
+    is decode-bound."""
     import tempfile
 
     import jax
@@ -253,26 +304,24 @@ def bench_e2e(cfg, params, state, B, M):
         out, _ = ave.forward(params, state, wave, images, cfg, train=False)
         return out["event_scores"]
 
-    def to_i16(wave):
-        return (np.clip(wave, -1.0, 1.0) * 32767.0).astype(np.int16)
-
     tmp = tempfile.mkdtemp(prefix="dg_sct_bench_")
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    sys.path.insert(0, os.path.join(REPO, "tests"))
     from media_tree import make_ave_tree
     n_videos = B * M
     cats = [f"c{i}" for i in range(4)]
     tree = make_ave_tree(tmp, [f"v{i:04d}" for i in range(n_videos)], cats,
                          n_frames=10, img_size=320,
-                         wave_samples=10 * cfg.htsat.frontend.clip_samples)
+                         wave_samples=10 * cfg.htsat.frontend.clip_samples,
+                         wave_dtype=np.int16)
     ds = ave_data.AVEDataset(tmp, "train", frame_dir=tree["frames"],
                              audio_dir=tree["audio"],
                              img_size=cfg.swin.img_size, raw_u8=True)
 
-    # warm compile with one synthetic batch
+    # warm compile with one synthetic batch (conversions OUTSIDE any timing)
     b0 = ave_data.synthetic_batch(B)
     imgs_u8 = (b0["image"] * 255).astype(np.uint8)
-    _ = np.asarray(fwd(params, state, jnp.asarray(to_i16(b0["wave"])),
+    wave_i16 = (np.clip(b0["wave"], -1.0, 1.0) * 32767.0).astype(np.int16)
+    _ = np.asarray(fwd(params, state, jnp.asarray(wave_i16),
                        jnp.asarray(imgs_u8)))
 
     # host-pipeline cap: iterator-only pass (decode+resize+batch, no device)
@@ -284,12 +333,11 @@ def bench_e2e(cfg, params, state, B, M):
         nh / (time.perf_counter() - t0), 2)
 
     # ingest bandwidth: timed device_put + fence of the exact batch payload
-    pay_w = to_i16(b0["wave"])
-    mb = (pay_w.nbytes + imgs_u8.nbytes) / 1e6
+    mb = (wave_i16.nbytes + imgs_u8.nbytes) / 1e6
     ts = []
     for k in range(3):  # distinct payloads: the tunnel caches identical ops
         t0 = time.perf_counter()
-        jax.block_until_ready((jax.device_put(pay_w + np.int16(k)),
+        jax.block_until_ready((jax.device_put(wave_i16 + np.int16(k)),
                                jax.device_put(imgs_u8 + np.uint8(k))))
         ts.append(time.perf_counter() - t0)
     bench_e2e.ingest_mb_per_sec = round(mb / sorted(ts)[1], 2)
@@ -299,7 +347,7 @@ def bench_e2e(cfg, params, state, B, M):
     t0 = time.perf_counter()
     for batch in ave_data.batched_iterator(ds, B, shuffle=False, num_workers=8,
                                            prefetch=4):
-        out = fwd(params, state, jnp.asarray(to_i16(batch["wave"])),
+        out = fwd(params, state, jnp.asarray(batch["wave"]),
                   jnp.asarray(batch["image"]))
         if pending is not None:  # overlap fetch with the next step's decode
             assert np.isfinite(np.asarray(pending)).all()
@@ -311,6 +359,19 @@ def bench_e2e(cfg, params, state, B, M):
 
 
 def main():
+    # stdout must carry ONLY JSON result lines (the driver parses the output
+    # tail); ALL stderr — XLA/glog AOT-loader spam included, which writes to
+    # fd 2 directly — goes to perf/bench_stderr.log.
+    if os.environ.get("BENCH_KEEP_STDERR", "0") != "1":
+        errpath = os.path.join(REPO, "perf", "bench_stderr.log")
+        os.makedirs(os.path.dirname(errpath), exist_ok=True)
+        errfd = os.open(errpath, os.O_WRONLY | os.O_CREAT | os.O_APPEND)
+        os.dup2(errfd, 2)
+        sys.stderr = os.fdopen(2, "w", buffering=1)
+    print(f"=== bench start {time.strftime('%H:%M:%S')} pid={os.getpid()} ===",
+          file=sys.stderr, flush=True)
+    _lock = acquire_tpu_lock(float(os.environ.get("BENCH_LOCK_WAIT", "900")))
+
     import jax
     import jax.numpy as jnp
 
@@ -343,43 +404,67 @@ def main():
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)
 
-    # batch sweep on the tunnel'd chip: B=4/5 (57.7 clips/s) > B=6 (56.2)
-    # > B=8 (53.5) > B=12 (50.7) > B=16 (43.2) — small batches keep the
-    # working set VMEM-resident
+    # batch sweep on the tunnel'd chip (perf/results_r3): B=4 wins for bf16
+    # (61.7-62.8) AND int8 (66.65 vs B=6 62.93, B=8 58.31) — small batches
+    # keep the working set VMEM-resident.
     B = int(os.environ.get("BENCH_BATCH", "4"))
     M = int(os.environ.get("BENCH_ITERS", "32"))
 
-    if os.environ.get("BENCH_FWD", "1") == "1":
-        try:
-            clips_per_sec, mfu, mfu_ach = bench_forward(cfg, params, state, B, M)
-        except Exception:
-            W.set_pallas(False)
-            clips_per_sec, mfu, mfu_ach = bench_forward(cfg, params, state, B, M)
-    else:
-        clips_per_sec = mfu = mfu_ach = float("nan")
-    fwd_compile_s = getattr(bench_forward, "compile_s", None)
+    # name -> dict(clips, mfu, mfu_ach, achievable, compile_s)
+    measured: dict[str, dict] = {}
+    result: dict = {"metric": "ave_clip_pairs_per_sec_per_chip",
+                    "unit": "clip/s"}
 
-    # int8 serving path: frozen towers on the v5e int8 MXU (ops/quant.py) with
-    # STATIC calibrated activation scales (dynamic per-row scales measured a
-    # zero net win — the absmax/requant HBM passes eat the 1.5x GEMM gain).
-    # Scales for the bench's deterministic seed-0 params are cached in
-    # perf/bench_ascales.json (committed) so a fresh machine skips the ~5 min
-    # calibration compile; BENCH_INT8_RECAL=1 regenerates it.
-    int8_variants = []  # (name, towers, scale_file)
+    def emit():
+        """Print the complete result-so-far as one JSON line (the driver
+        parses the LAST line, so each emission supersedes the previous)."""
+        best, best_cfg = float("-inf"), None
+        for name, r in measured.items():
+            if r["clips"] == r["clips"] and r["clips"] > best:
+                best, best_cfg = r["clips"], name
+        if best_cfg is not None:
+            r = measured[best_cfg]
+            result["value"] = round(best, 2)
+            result["vs_baseline"] = round(best / (500.0 / 8.0), 3)
+            result["serving_config"] = best_cfg
+            result["mfu_pct"] = round(r["mfu"], 2)
+            result["mfu_vs_achievable_pct"] = round(r["mfu_ach"], 2)
+            # the measured matmul-only ceiling of the winning config's shape
+            # mix (perf/roofline.py rates x perf/flop_mix.py shares) as
+            # nominal MFU — the max mfu_pct with zero non-matmul time
+            result["mfu_ceiling_pct"] = round(
+                100.0 * r["achievable"] / V5E_PEAK_FLOPS, 1)
+        out = {k: v for k, v in result.items()
+               if v is not None and not (isinstance(v, float) and math.isnan(v))}
+        print(json.dumps(out), flush=True)
+        try:
+            with open(os.path.join(REPO, "perf", "bench_last.json"), "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError:
+            pass
+
+    # ---- phase 1: int8 serving configs (headline) -------------------------
+    # Frozen weights quantized to the v5e int8 MXU with STATIC calibrated
+    # activation scales (dynamic per-row scales measured a zero net win — the
+    # absmax/requant HBM passes eat the 1.5x GEMM gain). Scales for the
+    # bench's deterministic seed-0 params are committed (perf/bench_ascales*
+    # .json) so a fresh machine skips the ~5 min calibration compile;
+    # BENCH_INT8_RECAL=1 regenerates. Default config is towers+adapters (the
+    # round-3 winner, 67.35 vs 66.65 towers-only); BENCH_INT8_TOWERS=1 also
+    # measures towers-only (a separate cold compile).
+    int8_variants = []  # (name, towers, scale_file, result_key)
     if os.environ.get("BENCH_INT8", "1") == "1":
         int8_variants.append(
-            ("int8_frozen_towers", ("swin", "htsat"), "bench_ascales.json"))
-    if os.environ.get("BENCH_INT8_ADAPTERS", "0") == "1":
-        # serving config: adapters are static weights too (ops/quant.py)
-        int8_variants.append(
             ("int8_towers_adapters", ("swin", "htsat", "adapters"),
-             "bench_ascales_adapters.json"))
-    int8_res = {}  # name -> (clips, mfu, mfu_ach)
-    for name, towers, sname in int8_variants:
+             "bench_ascales_adapters.json", "int8_adapters_clips_per_sec"))
+        if os.environ.get("BENCH_INT8_TOWERS", "0") == "1":
+            int8_variants.append(
+                ("int8_frozen_towers", ("swin", "htsat"),
+                 "bench_ascales.json", "int8_clips_per_sec"))
+    for name, towers, sname, rkey in int8_variants:
         try:
             from dg_sct_tpu.ops import quant
-            sfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "perf", sname)
+            sfile = os.path.join(REPO, "perf", sname)
             scales = None
             if (os.path.exists(sfile)
                     and os.environ.get("BENCH_INT8_RECAL", "0") != "1"):
@@ -401,47 +486,53 @@ def main():
                 qparams = quant.quantize_eval_params(
                     jax.device_get(params), towers=towers, act_scales=scales)
             qparams = jax.device_put(qparams, tpu)
-            int8_res[name] = bench_forward(
-                cfg, qparams, state, B, M, achievable=ACHIEVABLE_FLOPS_INT8)
+            c, m_, ma = bench_forward(cfg, qparams, state, B, M,
+                                      achievable=ACHIEVABLE_FLOPS_INT8)
+            measured[name] = dict(clips=c, mfu=m_, mfu_ach=ma,
+                                  achievable=ACHIEVABLE_FLOPS_INT8,
+                                  compile_s=getattr(bench_forward, "compile_s",
+                                                    None))
+            result[rkey] = round(c, 2)
+            result.setdefault("compile_s", measured[name]["compile_s"])
             del qparams
+            emit()
         except Exception as e:
-            print(f"# {name} bench failed: {type(e).__name__}: {e}", flush=True)
-    int8_clips, int8_mfu, int8_mfu_ach = int8_res.get(
-        "int8_frozen_towers", (float("nan"),) * 3)
+            print(f"# {name} bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
 
-    import math
-    # headline = the best accuracy-bounded serving config (int8 variants when
-    # they win — tests/test_quant.py bounds their logit drift); all configs
-    # are reported raw alongside.
-    best, best_cfg = clips_per_sec, "bf16"
-    best_mfu, best_mfu_ach = mfu, mfu_ach
-    for name, (c, m_, ma) in int8_res.items():
-        if c == c and c > best:
-            best, best_cfg, best_mfu, best_mfu_ach = c, name, m_, ma
-    result = {
-        "metric": "ave_clip_pairs_per_sec_per_chip",
-        "value": round(best, 2),
-        "unit": "clip/s",
-        "vs_baseline": round(best / (500.0 / 8.0), 3),
-        "serving_config": best_cfg,
-        "mfu_pct": round(best_mfu, 2),
-        "mfu_vs_achievable_pct": round(best_mfu_ach, 2),
-        # the measured matmul-only ceiling of the winning config's shape mix
-        # (perf/roofline.py true-shape rates x perf/flop_mix.py flop shares),
-        # expressed as nominal MFU — the max mfu_pct this program could show
-        # with zero non-matmul time on this tunnel'd chip
-        "mfu_ceiling_pct": round(100.0 * (
-            ACHIEVABLE_FLOPS_INT8 if best_cfg.startswith("int8")
-            else ACHIEVABLE_FLOPS) / V5E_PEAK_FLOPS, 1),
-        "compile_s": fwd_compile_s,
-        "bf16_clips_per_sec": round(clips_per_sec, 2),
-        "int8_clips_per_sec": round(int8_clips, 2),
-    }
-    if "int8_towers_adapters" in int8_res:
-        result["int8_adapters_clips_per_sec"] = round(
-            int8_res["int8_towers_adapters"][0], 2)
-    result = {k: v for k, v in result.items()
-              if not (isinstance(v, float) and math.isnan(v))}
+    # ---- phase 2: bf16 forward (reference serving config) -----------------
+    if os.environ.get("BENCH_FWD", "1") == "1":
+        try:
+            try:
+                c, m_, ma = bench_forward(cfg, params, state, B, M)
+            except Exception:
+                W.set_pallas(False)
+                c, m_, ma = bench_forward(cfg, params, state, B, M)
+            measured["bf16"] = dict(clips=c, mfu=m_, mfu_ach=ma,
+                                    achievable=ACHIEVABLE_FLOPS,
+                                    compile_s=getattr(bench_forward,
+                                                      "compile_s", None))
+            result["bf16_clips_per_sec"] = round(c, 2)
+            result.setdefault("compile_s", measured["bf16"]["compile_s"])
+            emit()
+        except Exception as e:
+            print(f"# bf16 bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # ---- phase 3: train step ----------------------------------------------
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            result["train_clips_per_sec"] = round(
+                bench_train(int(os.environ.get("BENCH_TRAIN_BATCH", "4")),
+                            int(os.environ.get("BENCH_TRAIN_ITERS", "8"))), 2)
+            result["train_compile_s"] = getattr(bench_train, "compile_s", None)
+            if getattr(bench_train, "mfu_pct", None) is not None:
+                result["train_mfu_pct"] = bench_train.mfu_pct
+        except Exception as e:
+            result["train_error"] = f"{type(e).__name__}: {e}"[:120]
+        emit()
+
+    # ---- phase 4: e2e host pipeline ----------------------------------------
     if os.environ.get("BENCH_E2E", "1") == "1":
         try:
             result["e2e_clips_per_sec"] = round(
@@ -455,17 +546,11 @@ def main():
             result["host_cores"] = os.cpu_count()
         except Exception as e:
             result["e2e_error"] = f"{type(e).__name__}: {e}"[:120]
-    if os.environ.get("BENCH_TRAIN", "1") == "1":
-        try:
-            result["train_clips_per_sec"] = round(
-                bench_train(int(os.environ.get("BENCH_TRAIN_BATCH", "4")),
-                            int(os.environ.get("BENCH_TRAIN_ITERS", "8"))), 2)
-            result["train_compile_s"] = getattr(bench_train, "compile_s", None)
-            if getattr(bench_train, "mfu_pct", None) is not None:
-                result["train_mfu_pct"] = bench_train.mfu_pct
-        except Exception as e:
-            result["train_error"] = f"{type(e).__name__}: {e}"[:120]
-    print(json.dumps(result))
+        emit()
+
+    if not measured and all(k not in result for k in
+                            ("train_clips_per_sec", "e2e_clips_per_sec")):
+        emit()  # still print something parseable
 
 
 if __name__ == "__main__":

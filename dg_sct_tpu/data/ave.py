@@ -112,8 +112,11 @@ def load_wave(audio_dir: str, video_id: str, num_segments=NUM_SEGMENTS,
     need = num_segments * sr
     if len(wave) < need:
         wave = np.tile(wave, need // max(len(wave), 1) + 1)
-    wave = wave[:need]
-    return wave.reshape(num_segments, sr).astype(np.float32)
+    wave = wave[:need].reshape(num_segments, sr)
+    # int16 PCM sources pass through untouched — the serving ingest path ships
+    # i16 over the wire and dequantizes on-device (ops/basic.py); float sources
+    # keep the float32 training contract.
+    return wave if wave.dtype == np.int16 else wave.astype(np.float32)
 
 
 class AVEDataset:

@@ -74,6 +74,10 @@ def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
     Returns (residual (B, N, C), spatial_att_maps (B, 1, N), new_state).
     """
     B, N, C = x.shape
+    from ..ops import ablate
+    if ablate.on("adapters"):  # perf knockout only (ops/ablate.py)
+        return (jnp.zeros_like(x), jnp.full((B, 1, N), 1.0 / N, x.dtype),
+                dict(state))
 
     # ---- stage 1: resample prompts to (B, N, C) ------------------------------
     # conv_adapter acts on the token axis (net_trans.py:553) and `fc` on the

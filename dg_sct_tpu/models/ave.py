@@ -68,10 +68,19 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
     f_v = feats["f_v"].reshape(B, T, -1)     # (B, 10, 1536)
     f_a = feats["f_a"].reshape(B, T, -1)     # (B, 10, 768)
 
-    video_q, audio_q, av_gate = heads.temporal_attention(
-        params["temporal_attn"], f_v, f_a, train=train, rng=head_rng)
-    is_event_scores, event_scores, av_score = heads.cmbs(
-        params["CMBS"], video_q, audio_q)
+    from ..ops import ablate
+    if ablate.on("heads"):  # perf knockout only (ops/ablate.py)
+        ev = (f_v.mean(-1) + f_a.mean(-1)).transpose(1, 0)[..., None]  # (T,B,1)
+        n_cls = params["CMBS"]["localize_event"]["kernel"].shape[-1]
+        fake = f_v.mean(1)[:, :n_cls] + f_a.mean(1)[:, :n_cls]
+        video_q = audio_q = av_gate = None
+        is_event_scores, event_scores, av_score = ev, fake, fake
+        av_gate = ev
+    else:
+        video_q, audio_q, av_gate = heads.temporal_attention(
+            params["temporal_attn"], f_v, f_a, train=train, rng=head_rng)
+        is_event_scores, event_scores, av_score = heads.cmbs(
+            params["CMBS"], video_q, audio_q)
 
     # driver layout (main_trans.py:114-118): (10,B,1) -> (B,10)
     out = {

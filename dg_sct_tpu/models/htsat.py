@@ -97,6 +97,24 @@ def frontend(params, state, wave, cfg: HTSATConfig, *, train: bool,
     mel axis) -> [train: SpecAugment, mixup] -> reshape_wav2img -> patch_embed.
     """
     fcfg = cfg.frontend
+    from ..ops import ablate
+    if ablate.on("frontend"):  # perf knockout only (ops/ablate.py)
+        spec = cfg.spec_size
+        img = jnp.broadcast_to(
+            jnp.mean(wave, axis=-1)[:, None, None, None],
+            (wave.shape[0], spec, spec, 1))
+        img = img.astype(params["patch_embed"]["kernel"].dtype)
+        tokens = patch_embed(params["patch_embed"], img, cfg.patch_size)
+        return tokens, {"bn0": state["bn0"]}
+    x, new_state = mel_features(params, state, wave, cfg, train=train,
+                                rng=rng, mixup_lambda=mixup_lambda)
+    return tokens_from_mel(params, x, cfg), new_state
+
+
+def mel_features(params, state, wave, cfg: HTSATConfig, *, train: bool,
+                 rng=None, mixup_lambda=None):
+    """wave (N, L) -> (N, T, mel) post bn0/SpecAug/mixup (htsat.py:755-763)."""
+    fcfg = cfg.frontend
     power = dsp.power_spectrogram(wave, fcfg)
     x = dsp.logmel(power, fcfg)                      # (N, T, mel)
     # bn0 normalizes the mel axis (htsat.py:757-759 transpose trick)
@@ -105,12 +123,16 @@ def frontend(params, state, wave, cfg: HTSATConfig, *, train: bool,
         x = dsp.spec_augment(rng, x, fcfg)
     if train and mixup_lambda is not None:
         x = dsp.do_mixup(x, mixup_lambda)
-    img = dsp.reshape_wav2img(x, fcfg)               # (N, spec, spec, 1)
+    return x, {"bn0": bn0_state}
+
+
+def tokens_from_mel(params, x, cfg: HTSATConfig):
+    """(N, T, mel) -> patch tokens via reshape_wav2img + patch_embed."""
+    img = dsp.reshape_wav2img(x, cfg.frontend)       # (N, spec, spec, 1)
     # DSP runs in f32 for log-domain accuracy; the tower runs in the params'
     # compute dtype (bf16 on TPU) — cast at the boundary.
     img = img.astype(params["patch_embed"]["kernel"].dtype)
-    tokens = patch_embed(params["patch_embed"], img, cfg.patch_size)
-    return tokens, {"bn0": bn0_state}
+    return patch_embed(params["patch_embed"], img, cfg.patch_size)
 
 
 def block(params, x, *, dim, heads, res, ws, shift, drop_path_rate=0.0,
@@ -181,6 +203,11 @@ def forward_features(params, state, wave, cfg: HTSATConfig, *, train=False,
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     x, new_state = frontend(params, state, wave, cfg, train=train, rng=rngs[0],
                             mixup_lambda=mixup_lambda)
+    return run_tower(params, x, cfg, train=train), new_state
+
+
+def run_tower(params, x, cfg: HTSATConfig, *, train=False):
+    """Patch tokens -> final tokens through all stages (no adapters)."""
     plan = block_plan(cfg)
     for s, stage in enumerate(plan):
         for d, meta in enumerate(stage):
@@ -190,7 +217,50 @@ def forward_features(params, state, wave, cfg: HTSATConfig, *, train=False,
                       rng=None)
         if "downsample" in params["layers"][s]:
             x = patch_merging(params["layers"][s]["downsample"], x, meta["res"])
-    return x, new_state
+    return x
+
+
+def classifier_forward(params, state, wave, cfg: HTSATConfig, *, train=False,
+                       rng=None, mixup_lambda=None):
+    """Standalone HTS-AT classifier incl. the LONG-CLIP branches
+    (htsat.py:752-826). DG-SCT's 1-s segments (mel T=1001 <= 1024) always
+    take the interpolate path — frontend -> tower -> tscam_head — but longer
+    audio reproduces `crop_wav`: train = ONE random crop to target_t
+    (htsat.py:798-801); eval = sliding crops of (T-1)//2 frames at
+    (T-1)//4 overlap with OUTPUT-level averaging (htsat.py:802-821).
+    """
+    rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    x, new_state = mel_features(params, state, wave, cfg, train=train,
+                                rng=rngs[0], mixup_lambda=mixup_lambda)
+    target = cfg.frontend.target_t
+    T = x.shape[1]
+    if T <= target:
+        toks = run_tower(params, tokens_from_mel(params, x, cfg), cfg,
+                         train=train)
+        return tscam_head(params, toks, cfg), new_state
+    if train:
+        crop_rng = rngs[1] if rngs[1] is not None else jax.random.PRNGKey(0)
+        pos = jax.random.randint(crop_rng, (x.shape[0],), 0, T - target)
+        toks = run_tower(
+            params,
+            tokens_from_mel(params, dsp.crop_mel(x, pos, target), cfg),
+            cfg, train=True)
+        return tscam_head(params, toks, cfg), new_state
+    positions, crop = dsp.long_clip_eval_positions(T)
+    # the reference's own bound: each crop must fit reshape_wav2img's
+    # T <= target assert (htsat.py:723), so eval handles T <= 2*target+1
+    assert crop <= target, (
+        f"mel T={T} > {2 * target + 1}: the reference's sliding-crop eval "
+        f"(htsat.py:804-808) only covers T <= 2*target_t+1")
+    outs = []
+    for p in positions:
+        xc = dsp.crop_mel(
+            x, jnp.full((x.shape[0],), p, jnp.int32), crop)
+        toks = run_tower(params, tokens_from_mel(params, xc, cfg), cfg,
+                         train=False)
+        outs.append(tscam_head(params, toks, cfg))
+    avg = lambda k: sum(o[k] for o in outs) / len(outs)
+    return {k: avg(k) for k in outs[0]}, new_state
 
 
 def tscam_head(params, x, cfg: HTSATConfig):

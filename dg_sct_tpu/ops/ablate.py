@@ -8,7 +8,12 @@ and only the perf harness sets them.
 
 Flags: "softmax" (uniform-weight attention), "cosnorm" (plain scaled
 dot-product instead of Swin-V2 scaled-cosine), "biasadd" (skip relative
-position bias + shift mask adds), "roll" (no cyclic shift), "gelu" (relu).
+position bias + shift mask adds), "roll" (no cyclic shift), "gelu" (relu),
+"layernorm" (identity LN), "winlayout" (window partition/reverse without
+the 6-d transpose — wrong grouping, same shapes), "adapters" (all 48
+adapter calls return zero residuals + uniform maps), "heads" (skip
+temporal_attn + CMBS, fabricate logits from tower means), "frontend"
+(skip STFT/logmel/bn0/reshape — mel image from a broadcast wave mean).
 """
 ACTIVE: frozenset = frozenset()
 

@@ -200,6 +200,28 @@ def reshape_wav2img(x, cfg: AudioFrontendConfig):
     return x[..., None]                                   # (N, spec, spec, 1)
 
 
+def crop_mel(x, positions, crop_size: int):
+    """Per-example time crop of mel features (htsat.py:707-718 `crop_wav`).
+
+    x: (N, T, F); positions: (N,) int start frames -> (N, crop_size, F).
+    The reference loops examples with random/fixed `crop_pos`; here a vmapped
+    dynamic slice (the long-clip branch is dormant for DG-SCT's 1-s segments
+    — T=1001 < 1024 always takes the interpolate path — but ported for
+    standalone-HTSAT completeness)."""
+    def one(xi, p):
+        return jax.lax.dynamic_slice_in_dim(xi, p, crop_size, axis=0)
+
+    return jax.vmap(one)(x, positions)
+
+
+def long_clip_eval_positions(T: int):
+    """Sliding-crop schedule of the reference's eval long-clip branch
+    (htsat.py:804-808): crop (T-1)//2, overlap (T-1)//4."""
+    crop = (T - 1) // 2
+    overlap = (T - 1) // 4
+    return list(range(0, T - crop - 1, overlap)), crop
+
+
 def spec_augment(rng, x, cfg: AudioFrontendConfig):
     """torchlibrosa SpecAugmentation (htsat.py:451-452): per-example random
     time/freq stripes zeroed. x: (N, T, F)."""

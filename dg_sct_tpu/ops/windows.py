@@ -24,7 +24,10 @@ from .basic import linear, linear_init, kaiming_uniform, trunc_normal
 def window_partition(x, ws):
     """(B, H, W, C) -> (B * nW, ws*ws, C), row-major over window grid
     (matches htsat.py:20-31)."""
+    from . import ablate
     B, H, W, C = x.shape
+    if ablate.on("winlayout"):  # perf knockout: no transpose (wrong grouping)
+        return x.reshape(-1, ws * ws, C)
     x = x.reshape(B, H // ws, ws, W // ws, ws, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(-1, ws * ws, C)
@@ -32,8 +35,11 @@ def window_partition(x, ws):
 
 def window_reverse(wins, ws, H, W):
     """(B*nW, ws*ws, C) -> (B, H, W, C) (matches htsat.py:34-47)."""
+    from . import ablate
     nW = (H // ws) * (W // ws)
     B = wins.shape[0] // nW
+    if ablate.on("winlayout"):  # perf knockout: no transpose (wrong grouping)
+        return wins.reshape(B, H, W, -1)
     x = wins.reshape(B, H // ws, W // ws, ws, ws, -1)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(B, H, W, -1)

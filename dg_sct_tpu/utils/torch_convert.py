@@ -23,10 +23,58 @@ def _t(x):  # torch Linear weight (out, in) -> (in, out)
     return np.ascontiguousarray(np.asarray(x).T)
 
 
+class TrackedSD(dict):
+    """State dict that records which ORIGINAL checkpoint keys the converters
+    consume, surviving `strip_prefix`/`subdict` renames.  Drives the census
+    accounting (tests/test_key_census.py, tools/import_eval.py): after a
+    conversion, `accessed` holds every source key that was read, so unread
+    keys can be checked against the documented ignore-list."""
+
+    def __init__(self, data, accessed=None, alias=None):
+        super().__init__(data)
+        self.accessed = accessed if accessed is not None else set()
+        self.alias = alias or {}
+
+    def _mark(self, k):
+        self.accessed.add(self.alias.get(k, k))
+
+    def __getitem__(self, k):
+        self._mark(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            return self[k]
+        return default
+
+
+def track(sd: Dict[str, np.ndarray]) -> TrackedSD:
+    return sd if isinstance(sd, TrackedSD) else TrackedSD(sd)
+
+
 def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
-    out = {}
+    out, alias = {}, {}
     for k, v in sd.items():
-        out[k[len(prefix):] if k.startswith(prefix) else k] = v
+        nk = k[len(prefix):] if k.startswith(prefix) else k
+        out[nk] = v
+        if isinstance(sd, TrackedSD):
+            alias[nk] = sd.alias.get(k, k)
+    if isinstance(sd, TrackedSD):
+        return TrackedSD(out, accessed=sd.accessed, alias=alias)
+    return out
+
+
+def subdict(sd, prefix: str):
+    """Keys under `prefix`, with the prefix stripped (tracking preserved)."""
+    out, alias = {}, {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            nk = k[len(prefix):]
+            out[nk] = v
+            if isinstance(sd, TrackedSD):
+                alias[nk] = sd.alias.get(k, k)
+    if isinstance(sd, TrackedSD):
+        return TrackedSD(out, accessed=sd.accessed, alias=alias)
     return out
 
 
@@ -275,10 +323,8 @@ def convert_cmbs(sd, pre="CMBS"):
 def convert_ave_model(sd, num_adapters=12, groups=2):
     """Full MMIL_Net state dict -> (params, state)."""
     sd = strip_prefix(sd, "module.")
-    swin = convert_swinv2(strip_prefix(
-        {k: v for k, v in sd.items() if k.startswith("swin.")}, "swin."))
-    htsat, htsat_state = convert_htsat(strip_prefix(
-        {k: v for k, v in sd.items() if k.startswith("htsat.")}, "htsat."))
+    swin = convert_swinv2(subdict(sd, "swin."))
+    htsat, htsat_state = convert_htsat(subdict(sd, "htsat."))
     names = {"a_p1": "audio_adapter_blocks_p1", "v_p1": "vis_adapter_blocks_p1",
              "a_p2": "audio_adapter_blocks_p2", "v_p2": "vis_adapter_blocks_p2"}
     adapters, adapter_state = {}, {}
@@ -299,6 +345,52 @@ def convert_ave_model(sd, num_adapters=12, groups=2):
     }
     state = {"htsat": htsat_state, "adapters": adapter_state}
     return params, state
+
+
+# ---------------------------------------------------------------------------
+# Census accounting: every key in the real reference checkpoints is either
+# CONSUMED by the converters above or matches one of these documented
+# ignore patterns (tests/test_key_census.py enforces this against the exact
+# key census of best_82.18.pt / HTSAT_AudioSet_Saved_1.ckpt, generated from
+# the reference's own module definitions by tests/gen_key_census.py).
+# ---------------------------------------------------------------------------
+
+AVE_CKPT_IGNORED_PATTERNS = (
+    # deterministic coordinate/index grids — recomputed in ops/windows.py
+    r"\.attn\.relative_coords_table$",
+    r"\.attn\.relative_position_index$",
+    # the 21841-class IN22k classifier head of the timm swin; DG-SCT drives
+    # only the blocks (net_trans.py:894-914), never swin.forward/head
+    r"^swin\.head\.",
+    # registered in MMIL_Net.__init__ (net_trans.py:800-803) but never
+    # called in any forward — dead trainable params in the checkpoint
+    r"^adapter_token_downsampler\.",
+    # frozen DSP bases (torchlibrosa): DFT conv weights + slaney mel
+    # filterbank — synthesized exactly in ops/dsp.py (mel filterbank is
+    # parity-tested vs transformers.audio_utils in
+    # tests/test_third_party_parity.py)
+    r"spectrogram_extractor\.stft\.conv_(real|imag)\.weight$",
+    r"logmel_extractor\.melW$",
+    # adapter gate registered per VisualAdapter but unused in its forward
+    r"\.gate_tk$",
+)
+
+
+def census_report(sd: TrackedSD, ignored=AVE_CKPT_IGNORED_PATTERNS):
+    """After conversion from a `track()`-wrapped dict: classify every source
+    key as consumed / ignored-by-doc / UNEXPLAINED. Returns a dict of lists;
+    `unexplained` must be empty for a clean import."""
+    pats = [re.compile(p) for p in ignored]
+    consumed, ignored_keys, unexplained = [], [], []
+    for k in sd:
+        if k in sd.accessed:
+            consumed.append(k)
+        elif any(p.search(k) for p in pats):
+            ignored_keys.append(k)
+        else:
+            unexplained.append(k)
+    return {"consumed": consumed, "ignored": ignored_keys,
+            "unexplained": unexplained}
 
 
 # ---------------------------------------------------------------------------

@@ -18,15 +18,25 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Round-3 measured (bf16, B=4 M=16, baseline 64.9 ms): softmax -5.3,
+# cosnorm -1.0, biasadd -0.9, roll -0.7, gelu -0.2, all-five -8.4 ms.
+# Round 4 attributes the REMAINING ~24 ms with structural knockouts
+# (ops/ablate.py): layernorm, window-layout transposes, the whole adapter
+# stack, the temporal/CMBS heads (incl. the sequential bi-LSTM), and the
+# DSP frontend. KNOCKOUT_INT8=1 profiles the int8 serving config (the
+# headline) instead of bf16. KNOCKOUT_VARIANTS=name1+name2,name3 overrides.
 VARIANTS = [
     (),                       # baseline
-    ("softmax",),
-    ("cosnorm",),
-    ("biasadd",),
-    ("roll",),
-    ("gelu",),
-    ("softmax", "cosnorm", "biasadd", "roll", "gelu"),  # everything off
+    ("layernorm",),
+    ("winlayout",),
+    ("adapters",),
+    ("heads",),
+    ("frontend",),
+    ("softmax", "cosnorm", "biasadd", "roll", "gelu"),  # r3 elementwise combo
 ]
+if os.environ.get("KNOCKOUT_VARIANTS"):
+    VARIANTS = [tuple(x for x in v.split("+") if x)
+                for v in os.environ["KNOCKOUT_VARIANTS"].split(",")]
 
 
 def main():
@@ -46,6 +56,17 @@ def main():
         cast = lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
         params, state = cast(params), cast(state)
+        if os.environ.get("KNOCKOUT_INT8", "0") == "1":
+            # profile the int8 towers+adapters serving config (the headline)
+            import json as _json
+            from dg_sct_tpu.ops import quant
+            sfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_ascales_adapters.json")
+            with open(sfile) as f:
+                scales = {int(k): v for k, v in _json.load(f).items()}
+            params = quant.quantize_eval_params(
+                params, towers=("swin", "htsat", "adapters"),
+                act_scales=scales)
     tpu = jax.devices()[0]
     params = jax.device_put(params, tpu)
     state = jax.device_put(state, tpu)

@@ -1,0 +1,304 @@
+"""Generate the EXACT key census of the reference checkpoints, from the
+reference's own module definitions.
+
+Round-3 verdict: `utils/torch_convert.py` had only ever consumed
+builder-authored synthetic state dicts, so nothing proved it against the
+*exact key census* of `best_82.18.pt` (the full `MMIL_Net.state_dict()`,
+`/root/reference/DG-SCT/AVE/main_trans.py:298`) or
+`HTSAT_AudioSet_Saved_1.ckpt` (strict-loaded at
+`/root/reference/DG-SCT/AVE/nets/net_trans.py:740-743`).  This script
+instantiates the reference's `MMIL_Net` ITSELF (from `/root/reference`, with
+the third-party deps it needs but this env lacks — timm, torchlibrosa, ipdb,
+loralib — stubbed faithfully at the state-dict level) and dumps every key,
+shape, and dtype to `tests/golden/census_*.json`.  The committed censuses
+then drive `tests/test_key_census.py` on any machine, reference tree or not.
+
+Stub fidelity notes (each stub registers exactly the params/buffers the real
+package does, so state_dict keys match):
+  * timm 0.6.12 `swinv2_large_window12_192_22k`: the per-block key layout is
+    cross-checked against `transformers.Swinv2Model` via the committed
+    `hf_swinv2_to_timm_keys` bridge (tests/test_third_party_parity.py proved
+    that bridge numerically); census-only extras the bridge drops are the
+    `relative_coords_table`/`relative_position_index` buffers and the 21841-
+    class `head` (timm swin_transformer_v2.py registers all three).
+  * torchlibrosa 0.1.0: `Spectrogram.stft.conv_{real,imag}` are bias-free
+    Conv1d(1, n_fft//2+1, n_fft, hop) with frozen DFT-basis weights;
+    `LogmelFilterBank.melW` is a frozen (n_fft//2+1, mel) Parameter;
+    `SpecAugmentation` registers nothing (DropStripes has no params).
+
+Usage (needs /root/reference):  python tests/gen_key_census.py
+"""
+import json
+import os
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_AVE = "/root/reference/DG-SCT/AVE"
+
+
+def install_stubs():
+    import torch
+    import torch.nn as nn
+
+    # --- ipdb / loralib (imported, unused at census time) ---
+    ipdb = types.ModuleType("ipdb")
+    ipdb.set_trace = lambda *a, **k: None
+    sys.modules["ipdb"] = ipdb
+    sys.modules["loralib"] = types.ModuleType("loralib")
+
+    # --- torchlibrosa ---
+    tl = types.ModuleType("torchlibrosa")
+    tl_stft = types.ModuleType("torchlibrosa.stft")
+    tl_aug = types.ModuleType("torchlibrosa.augmentation")
+
+    class _STFT(nn.Module):
+        def __init__(self, n_fft, hop_length):
+            super().__init__()
+            out = n_fft // 2 + 1
+            self.conv_real = nn.Conv1d(1, out, kernel_size=n_fft,
+                                       stride=hop_length, bias=False)
+            self.conv_imag = nn.Conv1d(1, out, kernel_size=n_fft,
+                                       stride=hop_length, bias=False)
+            for p in self.parameters():
+                p.requires_grad = False
+
+    class Spectrogram(nn.Module):
+        def __init__(self, n_fft=2048, hop_length=None, win_length=None,
+                     window="hann", center=True, pad_mode="reflect",
+                     power=2.0, freeze_parameters=True):
+            super().__init__()
+            self.stft = _STFT(n_fft, hop_length or n_fft // 4)
+
+    class LogmelFilterBank(nn.Module):
+        def __init__(self, sr=22050, n_fft=2048, n_mels=64, fmin=0.0,
+                     fmax=None, ref=1.0, amin=1e-10, top_db=80.0,
+                     freeze_parameters=True):
+            super().__init__()
+            self.melW = nn.Parameter(torch.zeros(n_fft // 2 + 1, n_mels),
+                                     requires_grad=False)
+
+    class SpecAugmentation(nn.Module):
+        def __init__(self, time_drop_width=64, time_stripes_num=2,
+                     freq_drop_width=8, freq_stripes_num=2):
+            super().__init__()
+
+    tl_stft.Spectrogram = Spectrogram
+    tl_stft.LogmelFilterBank = LogmelFilterBank
+    tl_aug.SpecAugmentation = SpecAugmentation
+    tl.stft = tl_stft
+    tl.augmentation = tl_aug
+    sys.modules["torchlibrosa"] = tl
+    sys.modules["torchlibrosa.stft"] = tl_stft
+    sys.modules["torchlibrosa.augmentation"] = tl_aug
+
+    # --- timm (state-dict-faithful swinv2_large_window12_192_22k) ---
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    class _SwinV2Attn(nn.Module):
+        def __init__(self, dim, heads, ws):
+            super().__init__()
+            self.logit_scale = nn.Parameter(
+                torch.log(10 * torch.ones(heads, 1, 1)))
+            self.cpb_mlp = nn.Sequential(
+                nn.Linear(2, 512, bias=True), nn.ReLU(inplace=True),
+                nn.Linear(512, heads, bias=False))
+            self.register_buffer(
+                "relative_coords_table",
+                torch.zeros(1, 2 * ws - 1, 2 * ws - 1, 2))
+            self.register_buffer(
+                "relative_position_index",
+                torch.zeros(ws * ws, ws * ws, dtype=torch.long))
+            self.qkv = nn.Linear(dim, dim * 3, bias=False)
+            self.q_bias = nn.Parameter(torch.zeros(dim))
+            self.v_bias = nn.Parameter(torch.zeros(dim))
+            self.proj = nn.Linear(dim, dim)
+
+    class _SwinV2Block(nn.Module):
+        def __init__(self, dim, heads, ws):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim)
+            self.attn = _SwinV2Attn(dim, heads, ws)
+            self.drop_path1 = nn.Identity()
+            self.norm2 = nn.LayerNorm(dim)
+            self.mlp = nn.Sequential()
+            self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+            self.mlp.fc2 = nn.Linear(4 * dim, dim)
+            self.drop_path2 = nn.Identity()
+
+    class _PatchMergingV2(nn.Module):  # norm AFTER reduction (V2 order)
+        def __init__(self, dim):
+            super().__init__()
+            self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+            self.norm = nn.LayerNorm(2 * dim)
+
+    class _SwinV2Stage(nn.Module):
+        def __init__(self, dim, depth, heads, ws, resolution, last):
+            super().__init__()
+            self.input_resolution = resolution
+            self.blocks = nn.ModuleList(
+                [_SwinV2Block(dim, heads, ws) for _ in range(depth)])
+            self.downsample = nn.Identity() if last else _PatchMergingV2(dim)
+
+    class _PatchEmbed(nn.Module):
+        def __init__(self, in_chans, embed_dim, patch):
+            super().__init__()
+            self.proj = nn.Conv2d(in_chans, embed_dim, patch, patch)
+            self.norm = nn.LayerNorm(embed_dim)
+
+    class _SwinV2Large(nn.Module):
+        """timm swinv2_large_window12_192_22k state-dict facsimile:
+        embed 192, depths (2,2,18,2), heads (6,12,24,48), window 12,
+        img 192 -> 48x48 patches, 21841-class head."""
+
+        def __init__(self):
+            super().__init__()
+            depths, heads, dim, ws = (2, 2, 18, 2), (6, 12, 24, 48), 192, 12
+            self.patch_embed = _PatchEmbed(3, dim, 4)
+            self.layers = nn.ModuleList()
+            res = 48
+            for s, d in enumerate(depths):
+                self.layers.append(_SwinV2Stage(
+                    dim * 2 ** s, d, heads[s], ws, (res >> s, res >> s),
+                    last=(s == len(depths) - 1)))
+            self.num_features = dim * 2 ** (len(depths) - 1)
+            self.norm = nn.LayerNorm(self.num_features)
+            self.head = nn.Linear(self.num_features, 21841)
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_vit = types.ModuleType("timm.models.vision_transformer")
+    timm_layers = types.ModuleType("timm.models.layers")
+
+    def create_model(name, pretrained=False, **kw):
+        assert name == "swinv2_large_window12_192_22k", name
+        return _SwinV2Large()
+
+    class Attention(nn.Module):
+        pass
+
+    timm.create_model = create_model
+    timm.models = timm_models
+    timm_models.vision_transformer = timm_vit
+    timm_vit.Attention = Attention
+    timm_layers.to_2tuple = to_2tuple
+    timm_layers.trunc_normal_ = lambda t, **kw: t
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.vision_transformer"] = timm_vit
+    sys.modules["timm.models.layers"] = timm_layers
+
+
+def crosscheck_swin_layout(swin_sd):
+    """Assert the timm-stub block/stage key layout equals what the proven
+    `hf_swinv2_to_timm_keys` bridge produces from a real
+    `transformers.Swinv2Model` (census-only extras excluded)."""
+    from transformers import Swinv2Config, Swinv2Model
+    from dg_sct_tpu.utils.torch_convert import hf_swinv2_to_timm_keys
+
+    cfg = Swinv2Config(image_size=192, patch_size=4, embed_dim=192,
+                       depths=[2, 2, 18, 2], num_heads=[6, 12, 24, 48],
+                       window_size=12)
+    with __import__("torch").no_grad():
+        hf = Swinv2Model(cfg)
+    bridged = hf_swinv2_to_timm_keys(hf.state_dict())
+    extras = ("relative_coords_table", "relative_position_index", "head.")
+    stub_keys = {k for k in swin_sd if not any(e in k for e in extras)}
+    miss_b = sorted(stub_keys - set(bridged))[:10]
+    miss_s = sorted(set(bridged) - stub_keys)[:10]
+    assert not miss_b and not miss_s, (miss_b, miss_s)
+    for k in bridged:
+        assert tuple(bridged[k].shape) == tuple(swin_sd[k].shape), (
+            k, bridged[k].shape, swin_sd[k].shape)
+    print(f"swin layout cross-check vs transformers bridge: "
+          f"{len(bridged)} keys OK")
+
+
+def main():
+    sys.path.insert(0, REF_AVE)
+    sys.path.insert(0, REPO)
+    install_stubs()
+    import torch
+
+    import nets.esc_config as esc_config
+
+    # mirror the backbone_type == "audioset" mutation (net_trans.py:705-717)
+    esc_config.dataset_type = "audioset"
+    esc_config.balanced_data = True
+    esc_config.loss_type = "clip_bce"
+    esc_config.sample_rate = 32000
+    esc_config.hop_size = 320
+    esc_config.classes_num = 527
+
+    from nets.htsat import HTSAT_Swin_Transformer
+
+    htsat = HTSAT_Swin_Transformer(
+        spec_size=esc_config.htsat_spec_size,
+        patch_size=esc_config.htsat_patch_size,
+        in_chans=1,
+        num_classes=esc_config.classes_num,
+        window_size=esc_config.htsat_window_size,
+        config=esc_config,
+        depths=esc_config.htsat_depth,
+        embed_dim=esc_config.htsat_dim,
+        patch_stride=esc_config.htsat_stride,
+        num_heads=esc_config.htsat_num_head)
+    # the real HTSAT_AudioSet_Saved_1.ckpt: {'state_dict': {'sed_model.'+k}}
+    # (net_trans.py:741 strips k[10:])
+    htsat_ckpt = {"state_dict": {f"sed_model.{k}": v for k, v in
+                                 htsat.state_dict().items()}}
+
+    # Fake the checkpoint file where MMIL_Net's strict init load expects it
+    # (net_trans.py:723-743: '../checkpoints/AudioSet/...' relative to CWD).
+    tmp = tempfile.mkdtemp(prefix="census_")
+    cwd = os.path.join(tmp, "AVE")
+    os.makedirs(os.path.join(tmp, "checkpoints", "AudioSet"))
+    os.makedirs(cwd)
+    torch.save(htsat_ckpt, os.path.join(tmp, "checkpoints", "AudioSet",
+                                        "HTSAT_AudioSet_Saved_1.ckpt"))
+    os.chdir(cwd)
+
+    # opt: the reference's own parser with the train.sh flag set
+    sys.argv = ["census", "--Adapter_downsample=8", "--accum_itr=2",
+                "--batch_size=8", "--decay=0.35", "--decay_epoch=3",
+                "--early_stop=20", "--epochs=50", "--is_audio_adapter_p1=1",
+                "--is_audio_adapter_p2=1", "--is_audio_adapter_p3=0",
+                "--is_before_layernorm=1", "--is_bn=1", "--is_fusion_before=1",
+                "--is_gate=1", "--is_post_layernorm=1", "--is_vit_ln=0",
+                "--lr=5e-04", "--lr_mlp=5e-06", "--mode=train",
+                "--model=MMIL_Net", "--num_conv_group=2", "--num_tokens=32",
+                "--num_workers=16", "--seed", "43",
+                "--backbone_type", "audioset"]
+    from base_options import BaseOptions
+    opt = BaseOptions().parse()
+
+    from nets.net_trans import MMIL_Net
+    with torch.no_grad():
+        model = MMIL_Net(opt)
+    full_sd = model.state_dict()
+    crosscheck_swin_layout(
+        {k[len("swin."):]: v for k, v in full_sd.items()
+         if k.startswith("swin.")})
+
+    def census(sd):
+        return {k: {"shape": list(v.shape), "dtype": str(v.dtype).
+                    replace("torch.", "")} for k, v in sd.items()}
+
+    gold = os.path.join(REPO, "tests", "golden")
+    with open(os.path.join(gold, "census_best_82_18.json"), "w") as f:
+        json.dump(census(full_sd), f, indent=0, sort_keys=True)
+    with open(os.path.join(gold, "census_htsat_audioset.json"), "w") as f:
+        json.dump(census(htsat_ckpt["state_dict"]), f, indent=0,
+                  sort_keys=True)
+    n_params = sum(int(np.prod(v["shape"])) for v in census(full_sd).values())
+    print(f"census_best_82_18.json: {len(full_sd)} keys, "
+          f"{n_params/1e6:.1f}M elements")
+    print(f"census_htsat_audioset.json: {len(htsat_ckpt['state_dict'])} keys")
+
+
+if __name__ == "__main__":
+    main()

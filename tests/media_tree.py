@@ -35,11 +35,14 @@ def save_pngs(vdir: str, n_frames: int, size: int = 64, seed: int = 0,
             Image.fromarray(arr).save(os.path.join(vdir, f"{i}.png"))
 
 
-def save_wave(audio_dir: str, vid: str, n_samples: int, seed: int = 0):
+def save_wave(audio_dir: str, vid: str, n_samples: int, seed: int = 0,
+              dtype=np.float32):
     os.makedirs(audio_dir, exist_ok=True)
     rs = np.random.RandomState(seed)
-    np.save(os.path.join(audio_dir, f"{vid}.npy"),
-            (rs.randn(n_samples) * 0.05).astype(np.float32))
+    wave = rs.randn(n_samples) * 0.05
+    if np.dtype(dtype) == np.int16:  # PCM container format (serving ingest)
+        wave = np.clip(wave, -1.0, 1.0) * 32767.0
+    np.save(os.path.join(audio_dir, f"{vid}.npy"), wave.astype(dtype))
 
 
 def make_llp_tree(root, video_ids, *, n_frames=3, img_size=64, wave_samples=8000,
@@ -82,15 +85,19 @@ def make_avs_tree(root, videos, *, split="train", n_frames=5, img_size=64,
 
 
 def make_ave_tree(root, video_ids, categories, *, n_frames=3, img_size=64,
-                  wave_samples=8000):
-    """AVE layout: frames/<id>/*.jpg, audio/<id>.npy + meta txts."""
+                  wave_samples=8000, wave_dtype=np.float32):
+    """AVE layout: frames/<id>/*.jpg, audio/<id>.npy + meta txts.
+
+    `wave_dtype=np.int16` writes PCM containers (the serving ingest format —
+    data/ave.load_wave passes int16 through untouched for on-device dequant).
+    """
     frames, audio = os.path.join(root, "frames"), os.path.join(root, "audio")
     with open(os.path.join(root, "categories.txt"), "w") as f:
         f.write("\n".join(categories) + "\n")
     ann = ["Category&VideoID&Quality&StartTime&EndTime"]
     for i, vid in enumerate(video_ids):
         save_jpegs(os.path.join(frames, vid), n_frames, img_size, seed=i)
-        save_wave(audio, vid, wave_samples, seed=i)
+        save_wave(audio, vid, wave_samples, seed=i, dtype=wave_dtype)
         ann.append(f"{categories[i % len(categories)]}&{vid}&good&0&10")
     for name in ("Annotations.txt", "trainSet.txt", "testSet.txt", "valSet.txt"):
         with open(os.path.join(root, name), "w") as f:

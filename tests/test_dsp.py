@@ -100,3 +100,55 @@ def test_do_mixup_matches_torch():
     lt = torch.from_numpy(lam)
     ref = (xt.transpose(0, -1) * lt + torch.flip(xt, dims=[0]).transpose(0, -1) * (1 - lt)).transpose(0, -1)
     assert np.allclose(ours, ref.numpy(), atol=1e-6)
+
+
+def test_crop_mel_matches_reference_loop():
+    """dsp.crop_mel == the reference's per-example crop loop (htsat.py:707-718)."""
+    rs = np.random.RandomState(0)
+    x = rs.randn(3, 50, 8).astype(np.float32)
+    pos = np.array([0, 7, 29])
+    ours = np.asarray(dsp.crop_mel(jnp.asarray(x), jnp.asarray(pos), 21))
+    for i in range(3):
+        np.testing.assert_array_equal(ours[i], x[i, pos[i]:pos[i] + 21])
+
+
+def test_long_clip_classifier_forward():
+    """classifier_forward long-clip branches (htsat.py:795-821, dormant for
+    DG-SCT's 1-s segments): train takes one random crop; eval averages
+    sliding crops at the output level."""
+    import jax
+    from dg_sct_tpu.models import htsat as H
+    from tests.test_ave_model import tiny_cfg
+
+    cfg = tiny_cfg().htsat
+    params, state = H.init_htsat(jax.random.PRNGKey(0), cfg)
+    target = cfg.frontend.target_t                   # 128 mel frames (tiny)
+    # mel T must stay <= 2*target+1: each eval crop of (T-1)//2 frames must
+    # itself fit reshape_wav2img's T <= target assert (htsat.py:723)
+    long_wave = jnp.asarray(np.random.RandomState(1)
+                            .randn(2, int(1.8 * target) * cfg.frontend.hop_size)
+                            .astype(np.float32) * 0.05)
+    # mel T for this wave is > target -> long-clip branches
+    mel, _ = H.mel_features(params, state, long_wave, cfg, train=False)
+    assert mel.shape[1] > target
+    positions, crop = dsp.long_clip_eval_positions(mel.shape[1])
+    assert len(positions) >= 2 and crop < mel.shape[1]
+
+    out_e, _ = H.classifier_forward(params, state, long_wave, cfg, train=False)
+    assert out_e["clipwise_output"].shape == (2, cfg.num_classes)
+    assert np.isfinite(np.asarray(out_e["clipwise_output"])).all()
+
+    out_t, _ = H.classifier_forward(params, state, long_wave, cfg, train=True,
+                                    rng=jax.random.PRNGKey(2))
+    assert out_t["clipwise_output"].shape == (2, cfg.num_classes)
+    assert np.isfinite(np.asarray(out_t["clipwise_output"])).all()
+
+    # short clips (the live DG-SCT path) are untouched: same as tower+head
+    short_wave = jnp.asarray(np.random.RandomState(3)
+                             .randn(2, cfg.frontend.clip_samples)
+                             .astype(np.float32) * 0.05)
+    out_s, _ = H.classifier_forward(params, state, short_wave, cfg, train=False)
+    toks, _ = H.forward_features(params, state, short_wave, cfg, train=False)
+    ref = H.tscam_head(params, toks, cfg)
+    np.testing.assert_allclose(np.asarray(out_s["clipwise_output"]),
+                               np.asarray(ref["clipwise_output"]), atol=1e-6)
