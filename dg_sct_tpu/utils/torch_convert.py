@@ -373,6 +373,17 @@ AVE_CKPT_IGNORED_PATTERNS = (
     r"logmel_extractor\.melW$",
     # adapter gate registered per VisualAdapter but unused in its forward
     r"\.gate_tk$",
+    # HTS-AT registers each block's shift mask as a buffer
+    # (htsat.py:203-208); we recompute masks from (res, ws, shift)
+    r"\.attn_mask$",
+    # CMBS registers LayerNorms it never calls (net_trans.py:264-265 defined,
+    # absent from CMBS.forward 272-292)
+    r"^CMBS\.(video|audio)_norm\.",
+    # Encoder/Decoder keep the PROTOTYPE layer as a registered attribute;
+    # forward runs the deepcopy clones in `.layers` (models.py:24-37,54-66 —
+    # `self.layers = _get_clones(encoder_layer, N)`), so the prototype's
+    # params are dead weight in the checkpoint
+    r"^temporal_attn\.\w+\.(encoder_layer|decoder_layer)\.",
 )
 
 

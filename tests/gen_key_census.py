@@ -40,20 +40,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_AVE = "/root/reference/DG-SCT/AVE"
 
 
+def _mod(name):
+    """Stub module with a real ModuleSpec (importlib.util.find_spec — used
+    by transformers' availability probes — rejects spec-less modules)."""
+    import importlib.machinery
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    sys.modules[name] = m
+    return m
+
+
 def install_stubs():
     import torch
     import torch.nn as nn
 
-    # --- ipdb / loralib (imported, unused at census time) ---
-    ipdb = types.ModuleType("ipdb")
+    # --- ipdb / loralib / librosa (imported, unused at census time) ---
+    ipdb = _mod("ipdb")
     ipdb.set_trace = lambda *a, **k: None
-    sys.modules["ipdb"] = ipdb
-    sys.modules["loralib"] = types.ModuleType("loralib")
+    _mod("loralib")
+    _mod("librosa")
 
     # --- torchlibrosa ---
-    tl = types.ModuleType("torchlibrosa")
-    tl_stft = types.ModuleType("torchlibrosa.stft")
-    tl_aug = types.ModuleType("torchlibrosa.augmentation")
+    tl = _mod("torchlibrosa")
+    tl_stft = _mod("torchlibrosa.stft")
+    tl_aug = _mod("torchlibrosa.augmentation")
 
     class _STFT(nn.Module):
         def __init__(self, n_fft, hop_length):
@@ -91,9 +101,6 @@ def install_stubs():
     tl_aug.SpecAugmentation = SpecAugmentation
     tl.stft = tl_stft
     tl.augmentation = tl_aug
-    sys.modules["torchlibrosa"] = tl
-    sys.modules["torchlibrosa.stft"] = tl_stft
-    sys.modules["torchlibrosa.augmentation"] = tl_aug
 
     # --- timm (state-dict-faithful swinv2_large_window12_192_22k) ---
     def to_2tuple(x):
@@ -169,10 +176,10 @@ def install_stubs():
             self.norm = nn.LayerNorm(self.num_features)
             self.head = nn.Linear(self.num_features, 21841)
 
-    timm = types.ModuleType("timm")
-    timm_models = types.ModuleType("timm.models")
-    timm_vit = types.ModuleType("timm.models.vision_transformer")
-    timm_layers = types.ModuleType("timm.models.layers")
+    timm = _mod("timm")
+    timm_models = _mod("timm.models")
+    timm_vit = _mod("timm.models.vision_transformer")
+    timm_layers = _mod("timm.models.layers")
 
     def create_model(name, pretrained=False, **kw):
         assert name == "swinv2_large_window12_192_22k", name
@@ -184,13 +191,10 @@ def install_stubs():
     timm.create_model = create_model
     timm.models = timm_models
     timm_models.vision_transformer = timm_vit
+    timm_models.layers = timm_layers
     timm_vit.Attention = Attention
     timm_layers.to_2tuple = to_2tuple
     timm_layers.trunc_normal_ = lambda t, **kw: t
-    sys.modules["timm"] = timm
-    sys.modules["timm.models"] = timm_models
-    sys.modules["timm.models.vision_transformer"] = timm_vit
-    sys.modules["timm.models.layers"] = timm_layers
 
 
 def crosscheck_swin_layout(swin_sd):
