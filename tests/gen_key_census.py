@@ -193,8 +193,54 @@ def install_stubs():
     timm_models.vision_transformer = timm_vit
     timm_models.layers = timm_layers
     timm_vit.Attention = Attention
+    timm_vit._cfg = lambda **kw: dict(kw)
     timm_layers.to_2tuple = to_2tuple
     timm_layers.trunc_normal_ = lambda t, **kw: t
+
+    class DropPath(nn.Module):  # structural no-op (used by the real pvt.py)
+        def __init__(self, drop_prob=None):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    timm_layers.DropPath = DropPath
+    timm_registry = _mod("timm.models.registry")
+    timm_registry.register_model = lambda fn: fn
+    timm_models.registry = timm_registry
+
+    # --- easydict (AVS config.py) ---
+    if "easydict" not in sys.modules:
+        try:
+            import easydict  # noqa: F401
+        except ImportError:
+            ed = _mod("easydict")
+
+            class EasyDict(dict):
+                def __getattr__(self, k):
+                    try:
+                        return self[k]
+                    except KeyError as e:
+                        raise AttributeError(k) from e
+
+                def __setattr__(self, k, v):
+                    self[k] = v
+
+            ed.EasyDict = EasyDict
+    # --- wandb (imported by some drivers) ---
+    if "wandb" not in sys.modules:
+        try:
+            import wandb  # noqa: F401
+        except ImportError:
+            w = _mod("wandb")
+            w.init = w.log = w.watch = lambda *a, **k: None
+    # --- torchvision (AVQA nets import torchvision.models but never use it)
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            _mod("torchvision")
+            _mod("torchvision.models")
 
 
 def crosscheck_swin_layout(swin_sd):
@@ -222,7 +268,211 @@ def crosscheck_swin_layout(swin_sd):
           f"{len(bridged)} keys OK")
 
 
-def main():
+def write_census(name, sd, note=""):
+    gold = os.path.join(REPO, "tests", "golden")
+    data = {k: {"shape": list(v.shape),
+                "dtype": str(v.dtype).replace("torch.", "")}
+            for k, v in sd.items()}
+    with open(os.path.join(gold, name), "w") as f:
+        json.dump(data, f, indent=0, sort_keys=True)
+    n = sum(int(np.prod(v["shape"])) for v in data.values())
+    print(f"{name}: {len(data)} keys, {n/1e6:.1f}M elements {note}")
+
+
+def build_ref_htsat(esc_config, htsat_cls, classes_num=527):
+    """Construct the task's HTSAT exactly as its model __init__ does after
+    the backbone_type == 'audioset' esc_config mutation."""
+    esc_config.dataset_type = "audioset"
+    esc_config.balanced_data = True
+    esc_config.loss_type = "clip_bce"
+    esc_config.sample_rate = 32000
+    esc_config.hop_size = 320
+    esc_config.classes_num = classes_num
+    return htsat_cls(
+        spec_size=esc_config.htsat_spec_size,
+        patch_size=esc_config.htsat_patch_size,
+        in_chans=1,
+        num_classes=classes_num,
+        window_size=esc_config.htsat_window_size,
+        config=esc_config,
+        depths=esc_config.htsat_depth,
+        embed_dim=esc_config.htsat_dim,
+        patch_stride=esc_config.htsat_stride,
+        num_heads=esc_config.htsat_num_head)
+
+
+def save_fake_htsat_ckpt(htsat, path):
+    """The real HTSAT_AudioSet_Saved_1.ckpt layout:
+    {'state_dict': {'sed_model.'+k}} (net_trans.py:741 strips k[10:])."""
+    import torch
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    torch.save({"state_dict": {f"sed_model.{k}": v for k, v in
+                               htsat.state_dict().items()}}, path)
+
+
+def gen_avvp():
+    """MGN_Net census (AVVP/nets/mgn.py:417; ckpt saved at main.py:383)."""
+    import argparse
+    REF = "/root/reference/DG-SCT/AVVP"
+    sys.path.insert(0, REF)
+    sys.path.insert(0, REPO)
+    install_stubs()
+    import torch
+    import nets.esc_config as esc_config
+    from nets.htsat import HTSAT_Swin_Transformer
+
+    htsat = build_ref_htsat(esc_config, HTSAT_Swin_Transformer)
+    tmp = tempfile.mkdtemp(prefix="census_avvp_")
+    cwd = os.path.join(tmp, "AVVP")
+    os.makedirs(cwd)
+    save_fake_htsat_ckpt(htsat, os.path.join(
+        tmp, "checkpoints", "AudioSet", "HTSAT_AudioSet_Saved_1.ckpt"))
+    os.chdir(cwd)
+
+    # train.sh flags over the main.py:205-301 parser defaults
+    args = argparse.Namespace(
+        mode="train", batch_size=8, epochs=40, warmup_epochs=2, lr=3e-4,
+        weight_decay=0.0, seed=1, gpu="0", dim=128, depth_aud=3, depth_vis=3,
+        depth_av=6, audio_length=1.0, num_workers=16, model_name=None,
+        qkv_fusion=1, adapter_kind="bottleneck", start_tune_layers=0,
+        start_fusion_layers=0, Adapter_downsample=8, num_conv_group=2,
+        is_bn=1, is_gate=1, is_multimodal=1, is_before_layernorm=1,
+        is_post_layernorm=1, is_vit_ln=0, is_fusion_before=1, num_tokens=32,
+        vis_encoder_type="vit", backbone_type="audioset",
+        unimodal_assign="soft", crossmodal_assign="soft",
+        is_audio_adapter_p1=1, is_audio_adapter_p2=1, is_audio_adapter_p3=0,
+        root_path=tmp, model_save_dir="models/", checkpoint="MGN_Net",
+        label_format="video", audio_dir="", video_dir="", st_dir="")
+    from nets.mgn import MGN_Net
+    with torch.no_grad():
+        model = MGN_Net(args)
+    write_census("census_avvp_mgn.json", model.state_dict())
+    write_census("census_htsat_audioset_avvp.json",
+                 {f"sed_model.{k}": v for k, v in htsat.state_dict().items()},
+                 note="(should equal census_htsat_audioset.json)")
+
+
+def gen_avs():
+    """AVS S4 Pred_endecoder census (avs_s4/model/PVT_AVSModel.py:584;
+    ckpt saved as model.module.state_dict(), train.py:327)."""
+    import argparse
+    REF = "/root/reference/DG-SCT/AVS/avs_scripts/avs_s4"
+    sys.path.insert(0, REF)
+    sys.path.insert(0, REPO)
+    install_stubs()
+    import torch
+    import model.esc_config as esc_config
+    from model.htsat import HTSAT_Swin_Transformer
+    from model.pvt import pvt_v2_b5
+
+    htsat = build_ref_htsat(esc_config, HTSAT_Swin_Transformer)
+    tmp = tempfile.mkdtemp(prefix="census_avs_")
+    cwd = os.path.join(tmp, "avs_s4")
+    os.makedirs(cwd)
+    # HTSAT path: os.path.join(opt.root_path, 'DG-SCT/checkpoints/AudioSet/')
+    # (PVT_AVSModel.py:649-652); PVT path: cfg.TRAIN.PRETRAINED_PVTV2_PATH =
+    # '../../pretrained_backbones/pvt_v2_b5.pth' relative to CWD
+    save_fake_htsat_ckpt(htsat, os.path.join(
+        tmp, "DG-SCT", "checkpoints", "AudioSet",
+        "HTSAT_AudioSet_Saved_1.ckpt"))
+    os.chdir(cwd)
+    with torch.no_grad():
+        pvt = pvt_v2_b5()
+    pvt_path = os.path.abspath(os.path.join(cwd, "..", "..",
+                                            "pretrained_backbones"))
+    os.makedirs(pvt_path, exist_ok=True)
+    torch.save(pvt.state_dict(), os.path.join(pvt_path, "pvt_v2_b5.pth"))
+    write_census("census_avs_pvt_v2_b5.json", pvt.state_dict(),
+                 note="(ImageNet pvt_v2_b5.pth)")
+
+    from config import cfg
+    import model.PVT_AVSModel as AVSModel
+    args = argparse.Namespace(
+        session_name="S4_pvt", visual_backbone="pvt", train_batch_size=8,
+        num_tokens=32, Adapter_downsample=8, lr=3e-4,
+        tpavi_stages=[0, 1, 2, 3], tpavi_vv_flag=False, tpavi_va_flag=True,
+        wandb=0, model_name="s4-swinv2-tune-av", backbone_type="audioset",
+        is_audio_adapter_p1=1, is_audio_adapter_p2=1, is_audio_adapter_p3=0,
+        is_bn=1, is_gate=1, is_multimodal=1, is_before_layernorm=1,
+        is_post_layernorm=1, is_vit_ln=0, is_fusion_before=1,
+        num_conv_group=2, root_path=tmp, qkv_fusion=1,
+        adapter_kind="bottleneck", vis_encoder_type="swin")
+    with torch.no_grad():
+        m = AVSModel.Pred_endecoder(channel=256, opt=args, config=cfg,
+                                    tpavi_stages=args.tpavi_stages,
+                                    tpavi_vv_flag=args.tpavi_vv_flag,
+                                    tpavi_va_flag=args.tpavi_va_flag)
+    write_census("census_avs_s4.json", m.state_dict())
+
+
+def gen_avqa():
+    """AVQA stage-2 AVQA_Fusion_Net census (net_grd_avst/net_avst.py:264;
+    ckpt saved at main_avst.py:331)."""
+    REF = "/root/reference/DG-SCT/AVQA/net_grd_avst"
+    sys.path.insert(0, REF)
+    sys.path.insert(0, REPO)
+    install_stubs()
+    import torch
+    import esc_config
+    from htsat import HTSAT_Swin_Transformer
+
+    htsat = build_ref_htsat(esc_config, HTSAT_Swin_Transformer)
+    tmp = tempfile.mkdtemp(prefix="census_avqa_")
+    cwd = os.path.join(tmp, "AVQA")
+    os.makedirs(cwd)
+    # path "./../checkpoints/AudioSet/..." relative to CWD (net_avst.py:335)
+    save_fake_htsat_ckpt(htsat, os.path.join(
+        tmp, "checkpoints", "AudioSet", "HTSAT_AudioSet_Saved_1.ckpt"))
+    os.chdir(cwd)
+
+    sys.argv = ["census", "--mode", "train", "--wandb", "0",
+                "--num_workers", "16", "--batch-size", "8",
+                "--model_name", "swinv2_tune_av+vggish",
+                "--backbone_type", "audioset", "--Adapter_downsample", "8",
+                "--num_tokens", "2"]
+    from base_options import BaseOptions
+    args = BaseOptions().parse()
+    from net_avst import AVQA_Fusion_Net
+    with torch.no_grad():
+        model = AVQA_Fusion_Net(args)
+    write_census("census_avqa_fusion.json", model.state_dict())
+
+
+def gen_avqa_grounding():
+    """AVQA stage-1 AVQA_AVatt_Grounding census (grounding_gen/
+    nets_grd_gen.py:39; produces lavish_grounding_gen_best.pt)."""
+    import argparse
+    REF = "/root/reference/DG-SCT/AVQA/grounding_gen"
+    sys.path.insert(0, REF)
+    sys.path.insert(0, REPO)
+    install_stubs()
+    import torch
+    import esc_config
+    from htsat import HTSAT_Swin_Transformer
+
+    htsat = build_ref_htsat(esc_config, HTSAT_Swin_Transformer)
+    tmp = tempfile.mkdtemp(prefix="census_avqa_grd_")
+    cwd = os.path.join(tmp, "grounding_gen")
+    os.makedirs(cwd)
+    save_fake_htsat_ckpt(htsat, os.path.join(
+        tmp, "checkpoints", "AudioSet", "HTSAT_AudioSet_Saved_1.ckpt"))
+    os.chdir(cwd)
+    # main_grd_gen.py parser: model takes (args); give it the defaults it
+    # reads (iterated: AttributeError names any missing flag)
+    args = argparse.Namespace(
+        backbone_type="audioset", num_tokens=2, Adapter_downsample=8,
+        is_audio_adapter_p1=1, is_audio_adapter_p2=1, is_audio_adapter_p3=0,
+        is_bn=1, is_gate=1, is_multimodal=1, is_before_layernorm=1,
+        is_post_layernorm=1, is_vit_ln=0, is_fusion_before=1,
+        num_conv_group=2, qkv_fusion=1, adapter_kind="bottleneck",
+        vis_encoder_type="swin")
+    from nets_grd_gen import AVQA_AVatt_Grounding
+    with torch.no_grad():
+        model = AVQA_AVatt_Grounding(args)
+    write_census("census_avqa_grounding.json", model.state_dict())
+
+
+def gen_ave():
     sys.path.insert(0, REF_AVE)
     sys.path.insert(0, REPO)
     install_stubs()
@@ -288,20 +538,31 @@ def main():
         {k[len("swin."):]: v for k, v in full_sd.items()
          if k.startswith("swin.")})
 
-    def census(sd):
-        return {k: {"shape": list(v.shape), "dtype": str(v.dtype).
-                    replace("torch.", "")} for k, v in sd.items()}
+    write_census("census_best_82_18.json", full_sd)
+    write_census("census_htsat_audioset.json", htsat_ckpt["state_dict"])
 
-    gold = os.path.join(REPO, "tests", "golden")
-    with open(os.path.join(gold, "census_best_82_18.json"), "w") as f:
-        json.dump(census(full_sd), f, indent=0, sort_keys=True)
-    with open(os.path.join(gold, "census_htsat_audioset.json"), "w") as f:
-        json.dump(census(htsat_ckpt["state_dict"]), f, indent=0,
-                  sort_keys=True)
-    n_params = sum(int(np.prod(v["shape"])) for v in census(full_sd).values())
-    print(f"census_best_82_18.json: {len(full_sd)} keys, "
-          f"{n_params/1e6:.1f}M elements")
-    print(f"census_htsat_audioset.json: {len(htsat_ckpt['state_dict'])} keys")
+
+TASKS = {"ave": gen_ave, "avvp": gen_avvp, "avs": gen_avs,
+         "avqa": gen_avqa, "avqa_grounding": gen_avqa_grounding}
+
+
+def main():
+    import argparse
+    import subprocess
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", choices=list(TASKS) + ["all"], default="all")
+    ns, _ = p.parse_known_args()
+    if ns.task != "all":
+        return TASKS[ns.task]()
+    # fresh subprocess per task: each task dir shadows the same module names
+    # (nets, esc_config, htsat), so they must never share an interpreter
+    me = os.path.abspath(__file__)
+    for t in TASKS:
+        r = subprocess.run([sys.executable, me, "--task", t],
+                           capture_output=True, text=True, timeout=1800)
+        sys.stdout.write(r.stdout)
+        if r.returncode != 0:
+            print(f"--task {t} FAILED:\n{r.stderr[-3000:]}")
 
 
 if __name__ == "__main__":
