@@ -192,12 +192,19 @@ class AVSModelConfig:
     """AVS segmentation model (`Pred_endecoder`,
     `DG-SCT/AVS/avs_scripts/avs_s4/model/PVT_AVSModel.py:584-988`).
 
-    Note: the AVS adapters are built WITHOUT `num_tk` so they use the
-    VisualAdapter default of 87 latent tokens (net_trans.py:437)."""
+    Adapter flags come from avs_s4/base_options.py + train.sh: `--num_tokens
+    32 --Adapter_downsample 8` on the command line, `is_bn 0`, `is_gate 0`,
+    `num_conv_group 2` defaults (base_options.py:53-70). As in AVQA, the
+    VISUAL adapters hardcode `use_gate=True` (PVT_AVSModel.py:712,721) while
+    the audio ones take `opt.is_gate` (=0)."""
     swin: SwinV2Config = dataclasses.field(default_factory=SwinV2Config)
     htsat: HTSATConfig = dataclasses.field(default_factory=HTSATConfig)
     adapter: AdapterConfig = dataclasses.field(
-        default_factory=lambda: AdapterConfig(num_tokens=87))
+        default_factory=lambda: AdapterConfig(num_tokens=32, use_bn=False,
+                                              use_gate=False))
+    adapter_vis: AdapterConfig = dataclasses.field(
+        default_factory=lambda: AdapterConfig(num_tokens=32, use_bn=False,
+                                              use_gate=True))
     num_frames: int = 5
     channel: int = 256
     mask_size: int = 224
@@ -212,10 +219,20 @@ class AVSModelConfig:
 @dataclasses.dataclass(frozen=True)
 class AVQAModelConfig:
     """AVQA stage-2 (`AVQA_Fusion_Net`, `net_grd_avst/net_avst.py:264-626`).
-    Question vocab 93 (live-built, max_len 14), answer vocab 42."""
+    Question vocab 93 (live-built, max_len 14), answer vocab 42.
+
+    AVQA's adapters differ from AVE's: `net_grd_avst/base_options.py:70-81`
+    defaults `is_bn 0`, `is_gate 0`, `num_conv_group 4`, and train.sh passes
+    `--num_tokens 2`; the VISUAL adapters hardcode `use_gate=True`
+    (net_avst.py:402,412) while the audio ones take `opt.is_gate` (=0)."""
     swin: SwinV2Config = dataclasses.field(default_factory=SwinV2Config)
     htsat: HTSATConfig = dataclasses.field(default_factory=HTSATConfig)
-    adapter: AdapterConfig = dataclasses.field(default_factory=AdapterConfig)
+    adapter: AdapterConfig = dataclasses.field(
+        default_factory=lambda: AdapterConfig(num_tokens=2, num_conv_group=4,
+                                              use_bn=False, use_gate=False))
+    adapter_vis: AdapterConfig = dataclasses.field(
+        default_factory=lambda: AdapterConfig(num_tokens=2, num_conv_group=4,
+                                              use_bn=False, use_gate=True))
     num_frames: int = 10
     embed_dim: int = 1536
     qst_vocab_size: int = 93

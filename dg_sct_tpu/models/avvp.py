@@ -29,12 +29,12 @@ from ..ops.rnn import bilstm, bilstm_init
 def init_slim_temporal_attention(key, dim=128, d_model=64, dtype=jnp.float32):
     k = jax.random.split(key, 6)
     return {
-        "audio_rnn": bilstm_init(k[0], dim, d_model // 2, dtype),
+        "audio_rnn": bilstm_init(k[0], dim, d_model, dtype),
         "visual_rnn": bilstm_init(k[1], dim, d_model, dtype),
         "video_encoder": {"affine": linear_init(k[2], 2 * d_model, d_model, dtype=dtype),
                           "layers": [ave_heads.init_encoder_layer(kk, d_model, 1024, dtype)
                                      for kk in jax.random.split(k[3], 2)]},
-        "audio_encoder": {"affine": linear_init(k[4], d_model, d_model, dtype=dtype),
+        "audio_encoder": {"affine": linear_init(k[4], 2 * d_model, d_model, dtype=dtype),
                           "layers": [ave_heads.init_encoder_layer(kk, d_model, 1024, dtype)
                                      for kk in jax.random.split(k[5], 2)]},
         "audio_gated": linear_init(jax.random.fold_in(key, 7), d_model, 1, dtype=dtype),
@@ -45,11 +45,10 @@ def init_slim_temporal_attention(key, dim=128, d_model=64, dtype=jnp.float32):
 def slim_temporal_attention(params, v_feat, a_feat, *, gamma=0.05, train=False, rng=None):
     """v_feat/a_feat: (B, 10, 128). Returns gated (v, a), same shapes.
 
-    Note the reference quirk (mgn.py:112-120): visual_rnn is an LSTM(128, 64)
-    bidirectional -> 128-d, audio_rnn LSTM(128, 32) bidirectional -> 64-d, and
-    the video encoder affine maps 128 -> 64.
+    mgn.py:107-126: both RNNs are bidirectional LSTM(128, 64) -> 128-d, both
+    InternalTemporalRelationModule affines map 128 -> d_model 64.
     """
-    a_rnn = bilstm(params["audio_rnn"], a_feat)       # (B,10,64)
+    a_rnn = bilstm(params["audio_rnn"], a_feat)       # (B,10,128)
     v_rnn = bilstm(params["visual_rnn"], v_feat)      # (B,10,128)
     a_seq = a_rnn.transpose(1, 0, 2)
     v_seq = v_rnn.transpose(1, 0, 2)

@@ -168,6 +168,9 @@ def init_adapters(key, cfg: AVEModelConfig, dtype=jnp.float32):
     """4 x 12 adapters (audio/vis x p1/p2), mirroring the ModuleLists at
     net_trans.py:807-845. Returns (params, state)."""
     dims = ave_adapter_dims(cfg.swin, cfg.htsat)
+    # AVQA-style configs carry a distinct visual-adapter config (the reference
+    # hardcodes use_gate=True on the visual ModuleLists, net_avst.py:402,412)
+    vis_cfg = getattr(cfg, "adapter_vis", None) or cfg.adapter
     params = {k: [] for k in ("a_p1", "v_p1", "a_p2", "v_p2")}
     state = {k: [] for k in ("a_p1", "v_p1", "a_p2", "v_p2")}
     keys = jax.random.split(key, 4 * len(dims))
@@ -183,7 +186,7 @@ def init_adapters(key, cfg: AVEModelConfig, dtype=jnp.float32):
         for name in ("v_p1", "v_p2"):
             p, s = A.init_adapter(keys[ki], dim=v_dim, other_dim=a_dim,
                                   num_tokens_self=v_tok, num_tokens_other=a_tok,
-                                  cfg=cfg.adapter, dtype=dtype)
+                                  cfg=vis_cfg, dtype=dtype)
             params[name].append(p)
             state[name].append(s)
             ki += 1
@@ -216,6 +219,7 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
     new_adapter_state = {k: [dict(s) for s in state["adapters"][k]]
                          for k in state["adapters"]}
     acfg = cfg.adapter
+    acfg_v = getattr(cfg, "adapter_vis", None) or cfg.adapter
     v_maps = a_maps = None
     stage_taps = []
 
@@ -237,7 +241,7 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
         a_res, _, new_st["a_p1"] = A.adapter(ad["a_p1"], blk_state["a_p1"],
                                              f_a, f_v, acfg, train=train)
         v_res, _, new_st["v_p1"] = A.adapter(ad["v_p1"], blk_state["v_p1"],
-                                             f_v, f_a, acfg, train=train)
+                                             f_v, f_a, acfg_v, train=train)
         v_dp_zero = isinstance(v_dpr, (int, float)) and v_dpr == 0.0
         dp_on = train and blk_rng is not None and not v_dp_zero
         r1 = r2 = ra = None
@@ -261,7 +265,7 @@ def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
         a_res, a_maps, new_st["a_p2"] = A.adapter(ad["a_p2"], blk_state["a_p2"],
                                                   f_a, f_v, acfg, train=train)
         v_res, v_maps, new_st["v_p2"] = A.adapter(ad["v_p2"], blk_state["v_p2"],
-                                                  f_v, f_a, acfg, train=train)
+                                                  f_v, f_a, acfg_v, train=train)
         v_mlp = layer_norm(vparams["norm2"], mlp(vparams["mlp"], f_v))
         if dp_on:
             v_mlp = drop_path(r2, v_mlp, v_dpr, train)

@@ -267,29 +267,32 @@ def convert_adapter(sd, pre, groups=2):
     return p, state
 
 
+def _enc_layer(sd, lp):
+    return {"self_attn": convert_mha(sd, f"{lp}.self_attn"),
+            "linear1": convert_linear(sd, f"{lp}.linear1"),
+            "linear2": convert_linear(sd, f"{lp}.linear2"),
+            "norm1": convert_layernorm(sd, f"{lp}.norm1"),
+            "norm2": convert_layernorm(sd, f"{lp}.norm2")}
+
+
+def _dec_layer(sd, lp):
+    return {"self_attn": convert_mha(sd, f"{lp}.self_attn"),
+            "multihead_attn": convert_mha(sd, f"{lp}.multihead_attn"),
+            "linear1": convert_linear(sd, f"{lp}.linear1"),
+            "linear2": convert_linear(sd, f"{lp}.linear2"),
+            "norm1": convert_layernorm(sd, f"{lp}.norm1"),
+            "norm2": convert_layernorm(sd, f"{lp}.norm2")}
+
+
 def convert_temporal_attention(sd, pre="temporal_attn"):
     def enc(name, n_layers):
         return {"affine": convert_linear(sd, f"{pre}.{name}.affine_matrix"),
-                "layers": [_enc_layer(f"{pre}.{name}.encoder.layers.{i}") for i in range(n_layers)]}
+                "layers": [_enc_layer(sd, f"{pre}.{name}.encoder.layers.{i}")
+                           for i in range(n_layers)]}
 
     def dec(name):
         return {"affine": convert_linear(sd, f"{pre}.{name}.affine_matrix"),
-                "layers": [_dec_layer(f"{pre}.{name}.decoder.layers.0")]}
-
-    def _enc_layer(lp):
-        return {"self_attn": convert_mha(sd, f"{lp}.self_attn"),
-                "linear1": convert_linear(sd, f"{lp}.linear1"),
-                "linear2": convert_linear(sd, f"{lp}.linear2"),
-                "norm1": convert_layernorm(sd, f"{lp}.norm1"),
-                "norm2": convert_layernorm(sd, f"{lp}.norm2")}
-
-    def _dec_layer(lp):
-        return {"self_attn": convert_mha(sd, f"{lp}.self_attn"),
-                "multihead_attn": convert_mha(sd, f"{lp}.multihead_attn"),
-                "linear1": convert_linear(sd, f"{lp}.linear1"),
-                "linear2": convert_linear(sd, f"{lp}.linear2"),
-                "norm1": convert_layernorm(sd, f"{lp}.norm1"),
-                "norm2": convert_layernorm(sd, f"{lp}.norm2")}
+                "layers": [_dec_layer(sd, f"{pre}.{name}.decoder.layers.0")]}
 
     return {
         "v_fc": convert_linear(sd, f"{pre}.v_fc"),
@@ -320,11 +323,9 @@ def convert_cmbs(sd, pre="CMBS"):
     }
 
 
-def convert_ave_model(sd, num_adapters=12, groups=2):
-    """Full MMIL_Net state dict -> (params, state)."""
-    sd = strip_prefix(sd, "module.")
-    swin = convert_swinv2(subdict(sd, "swin."))
-    htsat, htsat_state = convert_htsat(subdict(sd, "htsat."))
+def convert_adapter_lists(sd, num_adapters=12, groups=2):
+    """The four `{audio,vis}_adapter_blocks_p{1,2}` ModuleLists shared by
+    every DG-SCT task tree. Returns (params, state) dicts of lists."""
     names = {"a_p1": "audio_adapter_blocks_p1", "v_p1": "vis_adapter_blocks_p1",
              "a_p2": "audio_adapter_blocks_p2", "v_p2": "vis_adapter_blocks_p2"}
     adapters, adapter_state = {}, {}
@@ -336,6 +337,15 @@ def convert_ave_model(sd, num_adapters=12, groups=2):
             ss.append(s)
         adapters[ours] = ps
         adapter_state[ours] = ss
+    return adapters, adapter_state
+
+
+def convert_ave_model(sd, num_adapters=12, groups=2):
+    """Full MMIL_Net state dict -> (params, state)."""
+    sd = strip_prefix(sd, "module.")
+    swin = convert_swinv2(subdict(sd, "swin."))
+    htsat, htsat_state = convert_htsat(subdict(sd, "htsat."))
+    adapters, adapter_state = convert_adapter_lists(sd, num_adapters, groups)
     params = {
         "swin": swin,
         "htsat": htsat,
@@ -402,6 +412,351 @@ def census_report(sd: TrackedSD, ignored=AVE_CKPT_IGNORED_PATTERNS):
             unexplained.append(k)
     return {"consumed": consumed, "ignored": ignored_keys,
             "unexplained": unexplained}
+
+
+# ---------------------------------------------------------------------------
+# AVVP: MGN_Net (`DG-SCT/AVVP/nets/mgn.py:417-763`) -> models/avvp.py trees
+# ---------------------------------------------------------------------------
+
+def convert_qkv_attention(sd, pre):
+    """grouping.py `Attention`/`AssignAttention` with separate q/k/v
+    projections (AVVP/nets/grouping.py:20-67,70-155)."""
+    return {"q_proj": convert_linear(sd, f"{pre}.q_proj"),
+            "k_proj": convert_linear(sd, f"{pre}.k_proj"),
+            "v_proj": convert_linear(sd, f"{pre}.v_proj"),
+            "proj": convert_linear(sd, f"{pre}.proj")}
+
+
+def convert_mlp(sd, pre):
+    return {"fc1": convert_linear(sd, f"{pre}.fc1"),
+            "fc2": convert_linear(sd, f"{pre}.fc2")}
+
+
+def convert_attn_block(sd, pre):
+    """grouping.py `AttnBlock` (fused qkv self-attention block)."""
+    return {"norm1": convert_layernorm(sd, f"{pre}.norm1"),
+            "qkv": convert_linear(sd, f"{pre}.attn.qkv"),
+            "proj": convert_linear(sd, f"{pre}.attn.proj"),
+            "norm2": convert_layernorm(sd, f"{pre}.norm2"),
+            "mlp": convert_mlp(sd, f"{pre}.mlp")}
+
+
+def convert_grouping_block(sd, pre):
+    """grouping.py `GroupingBlock` (AVVP/nets/grouping.py:158-280)."""
+    return {
+        "norm_tokens": convert_layernorm(sd, f"{pre}.norm_tokens"),
+        "mlp_inter": convert_mlp(sd, f"{pre}.mlp_inter"),
+        "norm_post_tokens": convert_layernorm(sd, f"{pre}.norm_post_tokens"),
+        "norm_x": convert_layernorm(sd, f"{pre}.norm_x"),
+        "pre_assign_attn": {
+            "attn": convert_qkv_attention(sd, f"{pre}.pre_assign_attn.attn"),
+            "norm2": convert_layernorm(sd, f"{pre}.pre_assign_attn.norm2"),
+            "mlp": convert_mlp(sd, f"{pre}.pre_assign_attn.mlp"),
+            "norm_post": convert_layernorm(sd, f"{pre}.pre_assign_attn.norm_post"),
+        },
+        "assign": convert_qkv_attention(sd, f"{pre}.assign"),
+        "norm_new_x": convert_layernorm(sd, f"{pre}.norm_new_x"),
+        "mlp_channels": convert_mlp(sd, f"{pre}.mlp_channels"),
+    }
+
+
+def convert_modality_trans(sd, pre, depth, use_han=False):
+    """grouping.py `ModalityTrans` (AVVP/nets/grouping.py:683-770)."""
+    p = {"blocks": [convert_attn_block(sd, f"{pre}.blocks.{i}")
+                    for i in range(depth)],
+         "grouping": convert_grouping_block(sd, f"{pre}.grouping")}
+    if use_han:
+        p["han_encoder"] = convert_grouping_block(sd, f"{pre}.han_encoder")
+    return p
+
+
+def convert_slim_temporal_attention(sd, pre="temporal_attn"):
+    """AVVP's slim TemporalAttention (mgn.py:107-159): gates only, no v_fc/
+    a_fc, no decoders; audio/video_gated are Sequentials (one Linear)."""
+    def enc(name):
+        return {"affine": convert_linear(sd, f"{pre}.{name}.affine_matrix"),
+                "layers": [_enc_layer(sd, f"{pre}.{name}.encoder.layers.{i}")
+                           for i in range(2)]}
+
+    return {
+        "audio_rnn": convert_bilstm(sd, f"{pre}.audio_visual_rnn_layer.audio_rnn"),
+        "visual_rnn": convert_bilstm(sd, f"{pre}.audio_visual_rnn_layer.visual_rnn"),
+        "video_encoder": enc("video_encoder"),
+        "audio_encoder": enc("audio_encoder"),
+        "audio_gated": convert_linear(sd, f"{pre}.audio_gated.0"),
+        "video_gated": convert_linear(sd, f"{pre}.video_gated.0"),
+    }
+
+
+def convert_avvp_model(sd, num_adapters=12, groups=2, depths=(3, 3, 6)):
+    """Full MGN_Net state dict (ckpt saved at AVVP/main.py:383) ->
+    (params, state) matching `avvp.init_avvp_model`."""
+    sd = strip_prefix(sd, "module.")
+    swin = convert_swinv2(subdict(sd, "swin."))
+    htsat, htsat_state = convert_htsat(subdict(sd, "htsat."))
+    adapters, adapter_state = convert_adapter_lists(sd, num_adapters, groups)
+    params = {
+        "swin": swin,
+        "htsat": htsat,
+        "adapters": adapters,
+        "fc_a": convert_linear(sd, "fc_a"),
+        "fc_v": convert_linear(sd, "fc_v"),
+        "fc_st": convert_linear(sd, "fc_st"),
+        "fc_fusion": convert_linear(sd, "fc_fusion"),
+        "audio_token": np.asarray(sd["audio_token"]),
+        "visual_token": np.asarray(sd["visual_token"]),
+        "audio_cug": convert_modality_trans(sd, "audio_cug", depths[0], use_han=True),
+        "visual_cug": convert_modality_trans(sd, "visual_cug", depths[1]),
+        "av_mcg": convert_modality_trans(sd, "av_mcg", depths[2]),
+        "fc_prob": convert_linear(sd, "fc_prob"),
+        "fc_prob_a": convert_linear(sd, "fc_prob_a"),
+        "fc_prob_v": convert_linear(sd, "fc_prob_v"),
+        "fc_cls": convert_linear(sd, "fc_cls"),
+        "temporal_attn": convert_slim_temporal_attention(sd),
+    }
+    state = {"htsat": htsat_state, "adapters": adapter_state}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# AVS: Pred_endecoder (`avs_s4/model/PVT_AVSModel.py:584-988`) ->
+# models/avs.py trees (+ the bypassed PVT-v2-b5 -> models/pvt.py)
+# ---------------------------------------------------------------------------
+
+def convert_conv2d(sd, name):
+    """torch Conv2d weight (O, I, kh, kw) -> ours (kh, kw, I, O). Also fits
+    depthwise convs ((C, 1, kh, kw) -> (kh, kw, 1, C))."""
+    w = np.asarray(sd[f"{name}.weight"])
+    p = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+    if f"{name}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def convert_conv3d_1x1(sd, name):
+    """TPAVI's 1x1x1 Conv3d == channel matmul -> linear params."""
+    w = np.asarray(sd[f"{name}.weight"])[:, :, 0, 0, 0]
+    return {"kernel": _t(w), "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def convert_tpavi(sd, pre):
+    """TPAVIModule ('dot', bn_layer=True; avs_s4/model/TPAVI.py:6-180).
+    Returns (params, state)."""
+    params = {
+        "align_channel": convert_linear(sd, f"{pre}.align_channel"),
+        "norm_layer": convert_layernorm(sd, f"{pre}.norm_layer"),
+        "g": convert_conv3d_1x1(sd, f"{pre}.g"),
+        "theta": convert_conv3d_1x1(sd, f"{pre}.theta"),
+        "phi": convert_conv3d_1x1(sd, f"{pre}.phi"),
+        # W_z = Sequential(Conv3d 1x1x1, BatchNorm3d) (TPAVI.py:55-63)
+        "W_z": convert_conv3d_1x1(sd, f"{pre}.W_z.0"),
+    }
+    bn_p, bn_s = convert_batchnorm(sd, f"{pre}.W_z.1")
+    params["bn"] = bn_p
+    return params, {"bn": bn_s}
+
+
+def convert_avs_temporal_attention(sd, pre="temporal_attn", num_scales=4):
+    """AVS 4-scale TemporalAttention (PVT_AVSModel.py:447-582): every
+    sub-module is a per-scale ModuleList."""
+    scales = []
+    for i in range(num_scales):
+        rnn = f"{pre}.audio_visual_rnn_layer.{i}"
+        scales.append({
+            "v_fc": convert_linear(sd, f"{pre}.v_fc.{i}"),
+            "audio_rnn": convert_bilstm(sd, f"{rnn}.audio_rnn"),
+            "visual_rnn": convert_bilstm(sd, f"{rnn}.visual_rnn"),
+            "video_encoder": {
+                "affine": convert_linear(sd, f"{pre}.video_encoder.{i}.affine_matrix"),
+                "layers": [_enc_layer(sd, f"{pre}.video_encoder.{i}.encoder.layers.{j}")
+                           for j in range(2)]},
+            "audio_encoder": {
+                "affine": convert_linear(sd, f"{pre}.audio_encoder.{i}.affine_matrix"),
+                "layers": [_enc_layer(sd, f"{pre}.audio_encoder.{i}.encoder.layers.{j}")
+                           for j in range(2)]},
+            "video_decoder": {
+                "affine": convert_linear(sd, f"{pre}.video_decoder.{i}.affine_matrix"),
+                "layers": [_dec_layer(sd, f"{pre}.video_decoder.{i}.decoder.layers.0")]},
+            "audio_decoder": {
+                "affine": convert_linear(sd, f"{pre}.audio_decoder.{i}.affine_matrix"),
+                "layers": [_dec_layer(sd, f"{pre}.audio_decoder.{i}.decoder.layers.0")]},
+            "audio_gated": convert_linear(sd, f"{pre}.audio_gated.{i}.0"),
+            "video_gated": convert_linear(sd, f"{pre}.video_gated.{i}.0"),
+        })
+    return {"scales": scales}
+
+
+def convert_pvt_v2(sd, depths=(3, 6, 40, 3)):
+    """PVT-v2-b5 (avs_s4/model/pvt.py:15-422) -> models/pvt.py tree. The AVS
+    checkpoint carries it under `encoder_backbone.` even though its forward
+    is bypassed on the live path (PVT_AVSModel.py:892-916)."""
+    stages = []
+    for s in range(len(depths)):
+        blocks = []
+        for b in range(depths[s]):
+            pre = f"block{s + 1}.{b}"
+            p = {"norm1": convert_layernorm(sd, f"{pre}.norm1"),
+                 "q": convert_linear(sd, f"{pre}.attn.q"),
+                 "kv": convert_linear(sd, f"{pre}.attn.kv"),
+                 "proj": convert_linear(sd, f"{pre}.attn.proj"),
+                 "norm2": convert_layernorm(sd, f"{pre}.norm2"),
+                 "fc1": convert_linear(sd, f"{pre}.mlp.fc1"),
+                 "dwconv": convert_conv2d(sd, f"{pre}.mlp.dwconv.dwconv"),
+                 "fc2": convert_linear(sd, f"{pre}.mlp.fc2")}
+            if f"{pre}.attn.sr.weight" in sd:
+                p["sr"] = convert_conv2d(sd, f"{pre}.attn.sr")
+                p["sr_norm"] = convert_layernorm(sd, f"{pre}.attn.norm")
+            blocks.append(p)
+        stages.append({
+            "patch_embed": {"proj": convert_conv2d(sd, f"patch_embed{s + 1}.proj"),
+                            "norm": convert_layernorm(sd, f"patch_embed{s + 1}.norm")},
+            "blocks": blocks,
+            "norm": convert_layernorm(sd, f"norm{s + 1}"),
+        })
+    return {"stages": stages}
+
+
+def convert_avs_model(sd, num_adapters=12, groups=2, tpavi_stages=(0, 1, 2, 3)):
+    """Full Pred_endecoder state dict (saved as `model.module.state_dict()`,
+    avs_s4/train.py:327) -> (params, state, pvt_params). `pvt_params` is the
+    bypassed `encoder_backbone.` PVT-v2-b5 tower (models/pvt.py tree), or
+    None if the checkpoint lacks it."""
+    sd = strip_prefix(sd, "module.")
+    swin = convert_swinv2(subdict(sd, "swin."))
+    htsat, htsat_state = convert_htsat(subdict(sd, "htsat."))
+    adapters, adapter_state = convert_adapter_lists(sd, num_adapters, groups)
+    params = {
+        "swin": swin,
+        "htsat": htsat,
+        "adapters": adapters,
+        # x{i}_linear_ are the LIVE per-stage aligners (PVT_AVSModel.py:908);
+        # plain x{i}_linear are the dead PVT-dim ones (:903, commented out)
+        "scale_linears": [convert_linear(sd, f"x{i + 1}_linear_")
+                          for i in range(4)],
+        "audio_linear": convert_linear(sd, "audio_linear"),
+        "temporal_attn": convert_avs_temporal_attention(sd),
+        "paths": [{"res1": {"conv1": convert_conv2d(sd, f"path{i + 1}.resConfUnit1.conv1"),
+                            "conv2": convert_conv2d(sd, f"path{i + 1}.resConfUnit1.conv2")},
+                   "res2": {"conv1": convert_conv2d(sd, f"path{i + 1}.resConfUnit2.conv1"),
+                            "conv2": convert_conv2d(sd, f"path{i + 1}.resConfUnit2.conv2")}}
+                  for i in range(4)],
+        "out_conv1": convert_conv2d(sd, "output_conv.0"),
+        "out_conv2": convert_conv2d(sd, "output_conv.2"),
+        "out_conv3": convert_conv2d(sd, "output_conv.4"),
+    }
+    state = {"htsat": htsat_state, "adapters": adapter_state, "tpavi": {}}
+    params["tpavi"] = {}
+    for i in tpavi_stages:
+        name = f"tpavi_b{i + 1}"
+        tp_p, tp_s = convert_tpavi(sd, name)
+        params["tpavi"][name] = tp_p
+        state["tpavi"][name] = tp_s
+    pvt = None
+    if any(k.startswith("encoder_backbone.") for k in sd):
+        pvt = convert_pvt_v2(subdict(sd, "encoder_backbone."))
+    return params, state, pvt
+
+
+# ---------------------------------------------------------------------------
+# AVQA: stage-1 grounding generator + stage-2 fusion net
+# (`DG-SCT/AVQA/grounding_gen/nets_grd_gen.py:39-210`,
+#  `DG-SCT/AVQA/net_grd_avst/net_avst.py:238-626`)
+# ---------------------------------------------------------------------------
+
+def convert_qst_encoder(sd, pre="question_encoder"):
+    """QstEncoder (net_avst.py:210-235): Embedding -> LSTM -> fc."""
+    return {"word2vec": np.asarray(sd[f"{pre}.word2vec.weight"]),
+            "lstm": {"wi": _t(sd[f"{pre}.lstm.weight_ih_l0"]),
+                     "wh": _t(sd[f"{pre}.lstm.weight_hh_l0"]),
+                     "bi": np.asarray(sd[f"{pre}.lstm.bias_ih_l0"]),
+                     "bh": np.asarray(sd[f"{pre}.lstm.bias_hh_l0"])},
+            "fc": convert_linear(sd, f"{pre}.fc")}
+
+
+def convert_avqa_grounding(sd):
+    """AVQA_AVatt_Grounding state dict (lavish_grounding_gen_best.pt) ->
+    (params, state) matching `avqa_grounding.init_grounding_model`."""
+    sd = strip_prefix(sd, "module.")
+    htsat, htsat_state = convert_htsat(subdict(sd, "htsat."))
+    params = {"swin": convert_swinv2(subdict(sd, "swin.")), "htsat": htsat}
+    for n in ("fc_a1", "fc_a2", "fc_gl", "fc1", "fc2", "fc3", "fc4"):
+        params[n] = convert_linear(sd, n)
+    return params, {"htsat": htsat_state}
+
+
+def convert_avqa_fusion(sd, num_adapters=12, groups=4):
+    """AVQA_Fusion_Net state dict (saved at main_avst.py:331) ->
+    (params, state) matching `avqa.init_avqa_model`. NOTE groups=4: AVQA's
+    `num_conv_group` default is 4 (net_grd_avst/base_options.py:70)."""
+    sd = strip_prefix(sd, "module.")
+    swin = convert_swinv2(subdict(sd, "swin."))
+    htsat, htsat_state = convert_htsat(subdict(sd, "htsat."))
+    adapters, adapter_state = convert_adapter_lists(sd, num_adapters, groups)
+    params = {
+        "swin": swin,
+        "htsat": htsat,
+        "adapters": adapters,
+        "norm1": convert_layernorm(sd, "norm1"),
+        "norm2": convert_layernorm(sd, "norm2"),
+        "attn_a": convert_mha(sd, "attn_a"),
+        "attn_v": convert_mha(sd, "attn_v"),
+        "question_encoder": convert_qst_encoder(sd),
+    }
+    for n in ("fc_a1", "fc_a2", "fc_gl", "fc_fusion", "linear11", "linear12",
+              "linear21", "linear22", "fc_ans", "fc1", "fc2", "fc3", "fc4"):
+        params[n] = convert_linear(sd, n)
+    state = {"htsat": htsat_state, "adapters": adapter_state}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Per-task census ignore-lists (same contract as AVE_CKPT_IGNORED_PATTERNS:
+# every reference checkpoint key is either consumed by the converters or
+# matches a documented pattern; tests/test_key_census.py enforces this).
+# ---------------------------------------------------------------------------
+
+_SHARED_TOWER_IGNORED = (
+    r"\.attn\.relative_coords_table$",
+    r"\.attn\.relative_position_index$",
+    r"^swin\.head\.",
+    r"spectrogram_extractor\.stft\.conv_(real|imag)\.weight$",
+    r"logmel_extractor\.melW$",
+    r"\.attn_mask$",
+    # registered per VisualAdapter but unused in every task's forward
+    r"\.gate_tk$",
+)
+
+AVVP_CKPT_IGNORED_PATTERNS = _SHARED_TOWER_IGNORED + (
+    r"^adapter_token_downsampler\.",
+    # caption path: dead — MGN never passes `caption` (mgn.py call sites all
+    # default to None, so fc_caption at mgn.py:306 is unreachable)
+    r"\.fc_caption\.",
+    # temporal_gated output computed at mgn.py:349 but the modulation that
+    # would consume it is commented out (mgn.py:355-363)
+    r"\.temporal_gated\.",
+    # Encoder/Decoder prototype layer ghosts (deepcopy clones run instead)
+    r"^temporal_attn\.\w+\.(encoder_layer|decoder_layer)\.",
+)
+
+AVS_CKPT_IGNORED_PATTERNS = _SHARED_TOWER_IGNORED + (
+    # dead PVT-dim per-stage aligners + ASPP classifier modules: the live
+    # path uses x{i}_linear_ only (PVT_AVSModel.py:903,920 commented out)
+    r"^x[1-4]_linear\.",
+    r"^conv[1-4]\.conv2d_list\.",
+    # temporal_gated: computed (PVT_AVSModel.py:240) but its modulation is
+    # commented out (:250-256) — same dead pattern as AVVP
+    r"\.temporal_gated\.",
+    # per-scale Encoder/Decoder prototype ghosts (ModuleList variant)
+    r"^temporal_attn\.\w+\.\d+\.(encoder_layer|decoder_layer)\.",
+)
+
+AVQA_CKPT_IGNORED_PATTERNS = _SHARED_TOWER_IGNORED + (
+    # defined at net_avst.py:275-276/291 but never called in forward
+    r"^fc_a[12]_pure\.",
+    r"^norm3\.",
+)
+
+AVQA_GROUNDING_CKPT_IGNORED_PATTERNS = _SHARED_TOWER_IGNORED
 
 
 # ---------------------------------------------------------------------------

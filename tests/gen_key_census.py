@@ -387,14 +387,17 @@ def gen_avs():
 
     from config import cfg
     import model.PVT_AVSModel as AVSModel
+    # train.sh passes ONLY --num_tokens 32 --Adapter_downsample 8 (+ session
+    # flags); everything else is the base_options.py default — in particular
+    # is_bn=0 and is_gate=0 (base_options.py:57-61), unlike AVE/AVVP
     args = argparse.Namespace(
         session_name="S4_pvt", visual_backbone="pvt", train_batch_size=8,
         num_tokens=32, Adapter_downsample=8, lr=3e-4,
         tpavi_stages=[0, 1, 2, 3], tpavi_vv_flag=False, tpavi_va_flag=True,
         wandb=0, model_name="s4-swinv2-tune-av", backbone_type="audioset",
         is_audio_adapter_p1=1, is_audio_adapter_p2=1, is_audio_adapter_p3=0,
-        is_bn=1, is_gate=1, is_multimodal=1, is_before_layernorm=1,
-        is_post_layernorm=1, is_vit_ln=0, is_fusion_before=1,
+        is_bn=0, is_gate=0, is_multimodal=1, is_before_layernorm=1,
+        is_post_layernorm=1, is_vit_ln=0, is_fusion_before=0,
         num_conv_group=2, root_path=tmp, qkv_fusion=1,
         adapter_kind="bottleneck", vis_encoder_type="swin")
     with torch.no_grad():

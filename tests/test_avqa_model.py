@@ -12,9 +12,15 @@ from tests.test_ave_model import tiny_cfg
 
 
 def tiny_avqa_cfg():
+    import dataclasses
     base = tiny_cfg()
-    return AVQAModelConfig(swin=base.swin, htsat=base.htsat, adapter=base.adapter,
-                           num_frames=base.num_frames,
+    # mirror the AVQA flag structure (is_bn=0, audio is_gate=0, visual gate
+    # hardcoded True; net_grd_avst/base_options.py:70-81) at tiny dims —
+    # tiny channel counts keep num_conv_group=2 for divisibility
+    aud = dataclasses.replace(base.adapter, use_bn=False, use_gate=False)
+    vis = dataclasses.replace(base.adapter, use_bn=False, use_gate=True)
+    return AVQAModelConfig(swin=base.swin, htsat=base.htsat, adapter=aud,
+                           adapter_vis=vis, num_frames=base.num_frames,
                            embed_dim=base.swin.num_features,  # 128 for tiny
                            qst_vocab_size=93, ans_vocab_size=42)
 

@@ -12,8 +12,13 @@ from tests.test_ave_model import tiny_cfg
 
 def tiny_avs_cfg():
     base = tiny_cfg()
+    # mirror the AVS flag structure (base_options is_bn=0/is_gate=0, visual
+    # gate hardcoded True) at tiny dims
     return AVSModelConfig(swin=base.swin, htsat=base.htsat,
-                          adapter=AdapterConfig(reduction_factor=2, num_tokens=4),
+                          adapter=AdapterConfig(reduction_factor=2, num_tokens=4,
+                                                use_bn=False, use_gate=False),
+                          adapter_vis=AdapterConfig(reduction_factor=2, num_tokens=4,
+                                                    use_bn=False, use_gate=True),
                           num_frames=2, channel=32, mask_size=64,
                           # FPN requires each scale to be exactly 2x the next
                           # (FeatureFusionBlock upsamples by 2 into the skip)
