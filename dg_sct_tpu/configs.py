@@ -34,6 +34,10 @@ class AudioFrontendConfig:
     freq_stripes_num: int = 2
     # reshape_wav2img (htsat.py:719-734)
     spec_size: int = 256
+    # STFT GEMM compute dtype: None = f32 (exact, parity-tested vs
+    # torchlibrosa); jnp.bfloat16 = MXU fast path for serving (drift bounded
+    # by tests/test_dsp.py::test_power_spectrogram_bf16_drift)
+    stft_compute: Any = None
 
     @property
     def freq_ratio(self) -> int:

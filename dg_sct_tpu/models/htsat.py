@@ -115,7 +115,7 @@ def mel_features(params, state, wave, cfg: HTSATConfig, *, train: bool,
                  rng=None, mixup_lambda=None):
     """wave (N, L) -> (N, T, mel) post bn0/SpecAug/mixup (htsat.py:755-763)."""
     fcfg = cfg.frontend
-    power = dsp.power_spectrogram(wave, fcfg)
+    power = dsp.power_spectrogram(wave, fcfg, fcfg.stft_compute)
     x = dsp.logmel(power, fcfg)                      # (N, T, mel)
     # bn0 normalizes the mel axis (htsat.py:757-759 transpose trick)
     x, bn0_state = batch_norm(params["bn0"], state["bn0"], x, train=train, axis=-1)

@@ -150,23 +150,41 @@ def frame_signal(wave, n_fft, hop):
     return patches.transpose(0, 2, 1)
 
 
-def power_spectrogram(wave, cfg: AudioFrontendConfig):
-    """(N, L) -> (N, T, n_fft//2+1) power spectrogram |STFT|^2 (f32).
+def power_spectrogram(wave, cfg: AudioFrontendConfig, compute_dtype=None):
+    """(N, L) -> (N, T, n_fft//2+1) power spectrogram |STFT|^2 (f32 out).
 
-    STFT as ONE strided conv whose kernel is the windowed DFT basis
-    (torchlibrosa implements Spectrogram the same way with conv1d). The
-    explicit frame-then-matmul formulation (conv_general_dilated_patches +
-    two GEMMs) measured ~28 ms for 40 clips on TPU — the identity-kernel
-    patches conv dominated the entire HTS-AT tower; the direct conv removes
-    it."""
+    STFT as explicit overlap framing + ONE dense GEMM against the windowed
+    DFT basis. Framing is ceil(n_fft/hop) strided views of the hop-chunked
+    signal (pure layout ops) — NOT conv_general_dilated_patches and NOT a
+    1-input-channel strided conv: both lower to degenerate im2col convs the
+    TPU backend runs off the MXU (patches version measured ~28 ms for 40
+    clips; the direct-conv version 8.8 ms by knockout — this GEMM form puts
+    the 4.3 GFLOP where they belong).
+
+    `compute_dtype=jnp.bfloat16` runs the frame x basis GEMM on the bf16 MXU
+    with f32 accumulation (serving fast path; bounded by
+    tests/test_dsp.py::test_power_spectrogram_bf16_drift). Default f32 is
+    exact vs torchlibrosa (parity-tested)."""
+    n_fft, hop = cfg.n_fft, cfg.hop_size
     x = wave.astype(jnp.float32)
-    pad = cfg.n_fft // 2
+    pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    wc, ws = dft_basis(cfg.n_fft)                      # (n_fft, F) each
-    kernel = jnp.asarray(np.concatenate([wc, ws], axis=1))[:, None, :]
-    y = jax.lax.conv_general_dilated(
-        x[..., None], kernel, window_strides=(cfg.hop_size,), padding="VALID",
-        dimension_numbers=("NHC", "HIO", "NHC"))       # (N, T, 2F)
+    N, Lp = x.shape
+    T = wave.shape[1] // hop + 1
+    k = -(-n_fft // hop)                               # chunks per frame
+    need = (T + k - 1) * hop
+    if Lp < need:
+        x = jnp.pad(x, ((0, 0), (0, need - Lp)))
+    chunks = x[:, :need].reshape(N, T + k - 1, hop)
+    frames = jnp.stack([chunks[:, j:j + T] for j in range(k)], axis=2)
+    frames = frames.reshape(N, T, k * hop)[..., :n_fft]  # (N, T, n_fft)
+    wc, ws = dft_basis(n_fft)                          # (n_fft, F) each
+    basis = jnp.asarray(np.concatenate([wc, ws], axis=1))
+    if compute_dtype is not None:
+        frames = frames.astype(compute_dtype)
+        basis = basis.astype(compute_dtype)
+    y = jax.lax.dot_general(frames, basis, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (N, T, 2F)
     F = wc.shape[1]
     re, im = y[..., :F], y[..., F:]
     return re * re + im * im

@@ -23,6 +23,19 @@ def test_power_spectrogram_matches_torch_stft():
     assert np.max(np.abs(ours - ref)) / (np.max(ref) + 1e-9) < 1e-5
 
 
+def test_power_spectrogram_bf16_drift():
+    """The serving fast path (stft_compute=bf16 GEMM, f32 accumulate) stays
+    within log-mel tolerance: the downstream quantity is 10*log10(mel), so
+    bound the drift there, not on raw power."""
+    rng = np.random.RandomState(1)
+    wave = rng.randn(2, 32000).astype(np.float32) * 0.1
+    exact = dsp.logmel(dsp.power_spectrogram(jnp.asarray(wave), CFG), CFG)
+    fast = dsp.logmel(dsp.power_spectrogram(jnp.asarray(wave), CFG,
+                                            jnp.bfloat16), CFG)
+    db_err = np.max(np.abs(np.asarray(exact) - np.asarray(fast)))
+    assert db_err < 0.35, f"bf16 STFT log-mel drift {db_err:.3f} dB"
+
+
 def test_mel_filterbank_properties():
     """Slaney filterbank sanity: shape, band coverage, area normalization."""
     W = dsp.mel_filterbank(32000, 1024, 64, 50.0, 14000.0)  # (513, 64)
