@@ -230,6 +230,21 @@ def test_avqa_grounding_census_roundtrip():
     assert_same_tree_abstract(init_s, state, "grounding state")
 
 
+def test_import_eval_task_flag(tmp_path):
+    """`import_eval --task avqa_grounding` consumes a torch-saved fake
+    checkpoint with the exact census and passes its gates."""
+    torch = pytest.importorskip("torch")
+    census = load_census("census_avqa_grounding.json")
+    sd = {k: torch.from_numpy(v) for k, v in synth_sd(census).items()}
+    pt = tmp_path / "lavish_grounding_gen_best.pt"
+    torch.save(sd, str(pt))
+    from dg_sct_tpu.tools.import_eval import main as ie_main
+    out_npz = tmp_path / "grd.npz"
+    ie_main(["--task", "avqa_grounding", "--ckpt", str(pt),
+             "--census-only", "--save", str(out_npz)])
+    assert out_npz.exists()
+
+
 def test_import_eval_census_gate(tmp_path, full_init):
     """End-to-end: the one-command harness consumes a torch-saved fake
     best_82.18.pt with the exact census and passes its census+shape gates."""
