@@ -34,9 +34,110 @@ VARIANTS = [
     ("frontend",),
     ("softmax", "cosnorm", "biasadd", "roll", "gelu"),  # r3 elementwise combo
 ]
+# KNOCKOUT_TRAIN=1 attributes the TRAIN step's tail instead (fwd+bwd+Adam;
+# each variant is a fresh ~450 s train compile, so the default set is
+# trimmed to the big structural suspects)
+TRAIN_VARIANTS = [
+    (),
+    ("layernorm",),
+    ("adapters",),
+    ("heads",),
+    ("softmax", "cosnorm", "biasadd", "roll", "gelu"),
+]
 if os.environ.get("KNOCKOUT_VARIANTS"):
-    VARIANTS = [tuple(x for x in v.split("+") if x)
-                for v in os.environ["KNOCKOUT_VARIANTS"].split(",")]
+    VARIANTS = TRAIN_VARIANTS = [tuple(x for x in v.split("+") if x)
+                                 for v in os.environ["KNOCKOUT_VARIANTS"].split(",")]
+
+
+def main_train():
+    """Attribute the TRAIN step's tail (fwd+bwd+Adam at B=4, remat none,
+    frozen-bf16 — the exact bench_train configuration)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dg_sct_tpu.configs import AVEModelConfig, TrainConfig
+    from dg_sct_tpu.data import ave as ave_data
+    from dg_sct_tpu.models import ave, interleave
+    from dg_sct_tpu.ops import ablate
+    from dg_sct_tpu.train import ave_train, losses
+
+    interleave.set_remat_policy("none")
+    cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    tpu = jax.devices()[0]
+    tr0, fr = ave_train.partition_params(params)
+    fr = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, fr)
+    tr0, fr, state0 = (jax.device_put(t, tpu) for t in (tr0, fr, state))
+    tx = ave_train.make_optimizer(tr0, TrainConfig(accum_steps=1),
+                                  steps_per_epoch=100)
+    opt0 = jax.device_put(tx.init(tr0), tpu)
+
+    B, M = 4, 8
+    stacked = {}
+    for i in range(M):
+        b = ave_data.synthetic_batch(B, seed=i)
+        b["mixup_lambda"] = np.random.RandomState(i).beta(
+            0.5, 0.5, size=(B * cfg.num_frames,)).astype(np.float32)
+        for k, v in b.items():
+            stacked.setdefault(k, []).append(v)
+    stacked = {k: jax.device_put(jnp.asarray(np.stack(v)), tpu)
+               for k, v in stacked.items()}
+
+    base_ms = None
+    for names in TRAIN_VARIANTS:
+        ablate.set_ablations(*names)
+
+        @jax.jit
+        def train_stream(tr, state, opt_state, batches, rngs):
+            def body(carry, x):
+                tr, state, opt_state = carry
+                batch, rng = x
+
+                def loss_fn(t, st):
+                    p = ave_train.merge_params(t, fr)
+                    out, new_state = ave.forward(
+                        p, st, batch["wave"], batch["image"], cfg, train=True,
+                        rng=rng, mixup_lambda=batch["mixup_lambda"])
+                    return losses.ave_loss(out, batch["gt"]), new_state
+
+                (loss, new_state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(tr, state)
+                updates, opt_state = tx.update(grads, opt_state, tr)
+                tr = optax.apply_updates(tr, updates)
+                return (tr, new_state, opt_state), loss
+
+            (tr, state, opt_state), ls = jax.lax.scan(
+                body, (tr, state, opt_state), (batches, rngs))
+            return ls
+
+        t0 = time.perf_counter()
+        _ = np.asarray(train_stream(tr0, state0, opt0, stacked,
+                                    jax.random.split(jax.random.PRNGKey(1), M)))
+        compile_s = round(time.perf_counter() - t0, 1)
+        times = []
+        for seed in (2, 3):
+            t0 = time.perf_counter()
+            _ = np.asarray(train_stream(tr0, state0, opt0, stacked,
+                                        jax.random.split(jax.random.PRNGKey(seed), M)))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        step_ms = dt / M * 1e3
+        label = "+".join(names) if names else "baseline"
+        if base_ms is None:
+            base_ms = step_ms
+        print(json.dumps({
+            "train_knockout": label, "step_ms": round(step_ms, 1),
+            "clips_per_s": round(B * M / dt, 1),
+            "saved_ms_vs_base": round(base_ms - step_ms, 1),
+            "compile_s": compile_s}), flush=True)
+    ablate.set_ablations()
 
 
 def main():
@@ -117,4 +218,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("KNOCKOUT_TRAIN", "0") == "1":
+        main_train()
+    else:
+        main()
