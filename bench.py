@@ -465,11 +465,18 @@ def main():
         try:
             from dg_sct_tpu.ops import quant
             sfile = os.path.join(REPO, "perf", sname)
+            # the calibration walk's {qid: kernel shape} fingerprint — a model
+            # edit that shifts qid order makes an old scale file assign scales
+            # to the WRONG layers; detect and recalibrate instead
+            expect_shapes = quant.qid_shape_map(  # reads shapes only
+                quant._ordered_towers(params, towers))
             scales = None
             if (os.path.exists(sfile)
                     and os.environ.get("BENCH_INT8_RECAL", "0") != "1"):
-                with open(sfile) as f:
-                    scales = {int(k): v for k, v in json.load(f).items()}
+                scales = quant.load_scales(sfile, expect_shapes)
+                if scales is None:
+                    print(f"# {sname}: stale qid fingerprint — recalibrating",
+                          file=sys.stderr, flush=True)
             if scales is None:
                 rs = np.random.RandomState(7)
                 cw = jnp.asarray((rs.randn(B, cfg.num_frames,
@@ -480,8 +487,7 @@ def main():
                                  .astype(np.float32)).astype(jnp.bfloat16)
                 scales = quant.calibrate_ave(params, state, cfg, cw, ci,
                                              towers=towers)
-                with open(sfile, "w") as f:
-                    json.dump(scales, f)
+                quant.save_scales(sfile, scales, expect_shapes)
             with jax.default_device(jax.devices("cpu")[0]):
                 qparams = quant.quantize_eval_params(
                     jax.device_get(params), towers=towers, act_scales=scales)

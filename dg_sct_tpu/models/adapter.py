@@ -68,6 +68,27 @@ def init_adapter(key, *, dim, other_dim, num_tokens_self, num_tokens_other,
     return params, state
 
 
+def _token_linear(p, x, *, with_bias=True):
+    """Apply a (M, N) token-axis map to x (B, M, D) -> (B, N, D) THROUGH
+    `ops.basic.linear` rather than a raw einsum: linear dispatches the int8
+    serving path on "kernel_q" and is the hook `quant.calibrate_ave` records,
+    so stage 1's fat resample GEMMs (the largest bf16 residue of the int8
+    serving program — 2x 290 GFLOP/step at stage 0, perf/bf16_residue.py)
+    become quantization-eligible for free. The swapaxes pair folds into the
+    dot_general's dimension numbers; XLA emits the same single dot."""
+    if not with_bias and "bias" in p:
+        p = {k: v for k, v in p.items() if k != "bias"}
+    return jnp.swapaxes(linear(p, jnp.swapaxes(x, -1, -2)), -1, -2)
+
+
+def _kernel_f32(p):
+    """Static kernel view that works for both fp ("kernel") and int8-serving
+    ("kernel_q" x per-column "kscale") parameterizations."""
+    if "kernel_q" in p:
+        return p["kernel_q"].astype(jnp.float32) * p["kscale"][None, :]
+    return p["kernel"]
+
+
 def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
     """x: (B, N, C) this tower's tokens; other: (B, M, D) prompting tokens.
 
@@ -88,15 +109,16 @@ def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
     resample_first_flops = M * N * D + N * D * C
     align_first_flops = M * D * C + M * N * C
     if resample_first_flops <= align_first_flops:
-        p = jnp.einsum("bmd,mn->bnd", other, params["token_resample"]["kernel"])
-        p = p + params["token_resample"]["bias"][None, :, None]
+        p = _token_linear(params["token_resample"], other)        # (B, N, D)
         prompts = linear(params["chan_align"], p)                 # (B, N, C)
     else:
         # exact reorder: align(resample(x) + bias_n) =
         #   resample(x @ W) + bias_n * colsum(W) + b_c
-        p = other @ params["chan_align"]["kernel"]                # (B, M, C)
-        prompts = jnp.einsum("bmc,mn->bnc", p, params["token_resample"]["kernel"])
-        wsum = jnp.sum(params["chan_align"]["kernel"], axis=0)    # (C,)
+        ca_nobias = {k: v for k, v in params["chan_align"].items()
+                     if k != "bias"}
+        p = linear(ca_nobias, other)                              # (B, M, C)
+        prompts = _token_linear(params["token_resample"], p, with_bias=False)
+        wsum = jnp.sum(_kernel_f32(params["chan_align"]), axis=0).astype(x.dtype)
         prompts = (prompts
                    + params["token_resample"]["bias"][None, :, None] * wsum[None, None, :]
                    + params["chan_align"]["bias"])

@@ -32,10 +32,10 @@ def _is_linear_params(d) -> bool:
             and getattr(d["kernel"], "ndim", 0) == 2)
 
 
-# Adapter sublayers whose kernels are consumed by raw ["kernel"] einsums in
-# models/adapter.py (the stage-1 FLOP-reorder branch), not via ops.basic.linear
-# — they must stay in compute dtype when quantizing the adapter stack.
-ADAPTER_SKIP_KEYS = ("token_resample", "chan_align")
+# models/adapter.py stage 1 (token_resample/chan_align) routes through
+# ops.basic.linear via adapter._token_linear, so the whole adapter stack is
+# walk-eligible; the only raw-kernel consumer left (the branch-B bias-reorder
+# `wsum`) reads the dequantized view through adapter._kernel_f32.
 
 
 def quantize_linear(p, *, sym_clip=127.0):
@@ -123,6 +123,51 @@ def quantize_tree(tree, *, min_dim=192, skip_keys=(), act_scales=None):
     return _walk_eligible(tree, visit, min_dim=min_dim, skip_keys=skip_keys)
 
 
+def qid_shape_map(tree, *, min_dim=192, skip_keys=()):
+    """{qid: (in_dim, out_dim)} for every walk-eligible linear — the
+    integrity fingerprint of a calibration-scale file. Any model edit that
+    shifts the walk order (adds/removes/resizes an eligible linear) changes
+    this map, so callers can detect a stale scale file instead of silently
+    assigning scales to the wrong layers."""
+    shapes = {}
+
+    def visit(node, qid):
+        k = node.get("kernel", node.get("kernel_q"))
+        shapes[qid] = tuple(int(d) for d in k.shape)
+        return node
+
+    _walk_eligible(tree, visit, min_dim=min_dim, skip_keys=skip_keys)
+    return shapes
+
+
+def save_scales(path, scales, shapes):
+    """Write a calibration-scale file with its qid->shape fingerprint."""
+    import json
+    with open(path, "w") as f:
+        json.dump({"scales": {str(k): v for k, v in scales.items()},
+                   "shapes": {str(k): list(v) for k, v in shapes.items()}},
+                  f)
+
+
+def load_scales(path, expect_shapes=None):
+    """Read a calibration-scale file; returns {qid: absmax} or None if the
+    file's fingerprint does not match `expect_shapes` (stale — the caller
+    should recalibrate). Legacy flat {qid: absmax} files validate by qid
+    count only."""
+    import json
+    with open(path) as f:
+        raw = json.load(f)
+    if isinstance(raw, dict) and "scales" in raw:
+        if expect_shapes is not None:
+            got = {int(k): tuple(v) for k, v in raw["shapes"].items()}
+            if got != dict(expect_shapes):
+                return None
+        return {int(k): v for k, v in raw["scales"].items()}
+    if expect_shapes is not None and len(raw) != len(expect_shapes):
+        return None
+    return {int(k): v for k, v in raw.items()}
+
+
 def attach_qtags(tree, *, min_dim=192, skip_keys=()):
     """Insert a "qtag" int32 leaf into every eligible linear (calibration)."""
     def visit(node, qid):
@@ -144,10 +189,10 @@ def calibrate_ave(params, state, cfg, wave, images, *,
     running max; feed into `quantize_eval_params(act_scales=...)`.
 
     `towers` may include "adapters": in serving EVERY weight is static, so the
-    adapter stack's fat dim x dim affines are int8-eligible too (its
-    raw-einsum sublayers are excluded via ADAPTER_SKIP_KEYS). Adapter qids are
-    appended after the tower qids (same walk order), so tower-only scale files
-    stay valid prefixes."""
+    adapter stack's fat affines AND its stage-1 resample/align GEMMs (the
+    largest bf16 residue, perf/bf16_residue.py) are int8-eligible. Adapter
+    qids are appended after the tower qids (same walk order), so tower-only
+    scale files stay valid prefixes."""
     import numpy as np
 
     from ..models import adapter as AD, ave, htsat as H, swinv2 as S
@@ -156,8 +201,7 @@ def calibrate_ave(params, state, cfg, wave, images, *,
     tagged = dict(params)
     # single walk over an ordered {tower: tree} dict keeps qids global
     sub = _ordered_towers(params, towers)
-    tagged.update(attach_qtags(sub, min_dim=min_dim,
-                               skip_keys=ADAPTER_SKIP_KEYS))
+    tagged.update(attach_qtags(sub, min_dim=min_dim))
 
     recs = []
     orig = basic.linear
@@ -201,15 +245,14 @@ def quantize_eval_params(params, *, towers=("swin", "htsat"), min_dim=192,
     """Quantize the static weights of a full AVE param tree for eval/serving.
 
     Default covers the frozen towers. Pass towers=("swin", "htsat",
-    "adapters") to also quantize the adapter stack's fat affines — legitimate
-    in serving where every weight is static (the raw-einsum sublayers in
-    ADAPTER_SKIP_KEYS stay in compute dtype; accuracy is bounded by
-    tests/test_quant.py). Heads stay fp: they are a negligible FLOP share
-    (10-frame 512-d streams). cpb MLPs (2->512->heads) and other skinny
-    linears are filtered out by min_dim. With `act_scales` from
+    "adapters") to also quantize the adapter stack — legitimate in serving
+    where every weight is static: the fat affines plus the stage-1
+    token_resample/chan_align GEMMs (via adapter._token_linear; accuracy is
+    bounded by tests/test_quant.py). Heads stay fp: they are a negligible
+    FLOP share (10-frame 512-d streams). cpb MLPs (2->512->heads) and other
+    skinny linears are filtered out by min_dim. With `act_scales` from
     `calibrate_ave`, activations use static scales (the fast path)."""
     out = dict(params)
     out.update(quantize_tree(_ordered_towers(params, towers),
-                             min_dim=min_dim, act_scales=act_scales,
-                             skip_keys=ADAPTER_SKIP_KEYS))
+                             min_dim=min_dim, act_scales=act_scales))
     return out

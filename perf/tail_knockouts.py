@@ -159,12 +159,14 @@ def main():
         params, state = cast(params), cast(state)
         if os.environ.get("KNOCKOUT_INT8", "0") == "1":
             # profile the int8 towers+adapters serving config (the headline)
-            import json as _json
             from dg_sct_tpu.ops import quant
             sfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_ascales_adapters.json")
-            with open(sfile) as f:
-                scales = {int(k): v for k, v in _json.load(f).items()}
+            towers = ("swin", "htsat", "adapters")
+            scales = quant.load_scales(
+                sfile, quant.qid_shape_map(
+                    quant._ordered_towers(params, towers)))
+            assert scales is not None, f"stale scale file {sfile}: recalibrate"
             params = quant.quantize_eval_params(
                 params, towers=("swin", "htsat", "adapters"),
                 act_scales=scales)

@@ -109,10 +109,11 @@ def test_ave_forward_int8_towers_agree():
 
 
 def test_ave_forward_int8_adapters_agree():
-    """The towers+adapters serving config: the adapter stack's fat affines go
-    int8 too (static in serving), its raw-einsum sublayers
-    (token_resample/chan_align) stay fp, and the logit drift stays bounded —
-    calibrated static scales included (the bench BENCH_INT8_ADAPTERS path)."""
+    """The towers+adapters serving config: the adapter stack's fat affines AND
+    its stage-1 token_resample/chan_align GEMMs (routed through
+    adapter._token_linear) go int8 too (static in serving), and the logit
+    drift stays bounded — calibrated static scales included (the bench
+    BENCH_INT8_ADAPTERS path)."""
     cfg = tiny_cfg()
     towers = ("swin", "htsat", "adapters")
     params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
@@ -126,8 +127,11 @@ def test_ave_forward_int8_adapters_agree():
     qparams = quant.quantize_eval_params(params, towers=towers, min_dim=16)
     for ad in qparams["adapters"]["v_p1"]:
         assert "kernel_q" in ad["aff_video_1"]       # fat affine quantized
-        assert "kernel" in ad["token_resample"]      # raw-einsum layer: fp
-        assert "kernel" in ad["chan_align"]
+        # stage-1 GEMMs quantize when both dims clear min_dim (else stay fp)
+        for key in ("token_resample", "chan_align"):
+            k = ad[key].get("kernel", ad[key].get("kernel_q"))
+            expect = "kernel_q" if min(k.shape) >= 16 else "kernel"
+            assert expect in ad[key], (key, k.shape)
         assert ad["down"]["kernel"].ndim == 3        # grouped conv untouched
     out_q, _ = ave.forward(qparams, state, wave, imgs, cfg, train=False)
     a = np.asarray(out_fp["event_scores"], np.float32)
@@ -150,3 +154,24 @@ def test_ave_forward_int8_adapters_agree():
     c = np.asarray(out_s["event_scores"], np.float32)
     assert np.isfinite(c).all()
     assert np.abs(a - c).max() / denom < 0.35, np.abs(a - c).max() / denom
+
+
+def test_scale_file_fingerprint_roundtrip(tmp_path):
+    """save_scales/load_scales: a qid->shape fingerprint mismatch (model edit
+    shifted the calibration walk) must invalidate the file instead of
+    silently assigning scales to the wrong layers."""
+    import os
+    p = str(tmp_path / "s.json")
+    scales = {0: 1.5, 1: 0.25}
+    shapes = {0: (256, 512), 1: (512, 256)}
+    quant.save_scales(p, scales, shapes)
+    assert quant.load_scales(p, shapes) == scales
+    assert quant.load_scales(p) == scales                       # no check
+    assert quant.load_scales(p, {0: (256, 512), 1: (512, 999)}) is None
+    assert quant.load_scales(p, {0: (256, 512)}) is None
+    # legacy flat format: qid-count check only
+    import json
+    with open(p, "w") as f:
+        json.dump({"0": 1.5, "1": 0.25}, f)
+    assert quant.load_scales(p, shapes) == scales
+    assert quant.load_scales(p, {0: (256, 512)}) is None
