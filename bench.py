@@ -100,23 +100,30 @@ _STACK_CACHE: dict = {}
 
 def make_stacks(cfg, B, M, reps):
     """(reps+1) DISTINCT device-resident input stacks (the tunnel caches
-    identical runs). Cached per (B, M): staging ~1.4 GB through the tunnel
-    dominates phase wall-clock, and the int8/bf16 forward phases can share
-    inputs — only the params differ."""
+    identical runs), generated ON DEVICE with jax.random — staging the same
+    ~4.4 GB from host measured 50+ min on a bad tunnel day (results_r4
+    bench_full_s3: compile 31 s, staging ~55 min). Distribution matches the
+    old host RNG (waves 0.1*N(0,1), imgs U[0,1]); only throughput is
+    measured, exact values are irrelevant. Cached per (B, M): the int8/bf16
+    forward phases share inputs — only the params differ."""
     import jax
     import jax.numpy as jnp
     key = (B, M, reps)
     if key in _STACK_CACHE:
         return _STACK_CACHE[key]
-    rs = np.random.RandomState(0)
     T = cfg.num_frames
-    stacks = []
-    for _ in range(reps + 1):  # +1 warmup stack
-        waves = jnp.asarray((rs.randn(M, B, T, cfg.htsat.frontend.clip_samples) * 0.1)
-                            .astype(np.float32)).astype(jnp.bfloat16)
-        imgs = jnp.asarray(rs.rand(M, B, T, cfg.swin.img_size, cfg.swin.img_size, 3)
-                           .astype(np.float32)).astype(jnp.bfloat16)
-        stacks.append((waves, imgs))
+
+    @jax.jit
+    def gen(k):
+        kw, ki = jax.random.split(k)
+        waves = 0.1 * jax.random.normal(
+            kw, (M, B, T, cfg.htsat.frontend.clip_samples), jnp.bfloat16)
+        imgs = jax.random.uniform(
+            ki, (M, B, T, cfg.swin.img_size, cfg.swin.img_size, 3),
+            jnp.bfloat16)
+        return waves, imgs
+
+    stacks = [gen(jax.random.PRNGKey(i)) for i in range(reps + 1)]  # +1 warmup
     jax.block_until_ready(stacks)
     _STACK_CACHE[key] = stacks
     return stacks
@@ -210,15 +217,27 @@ def bench_train(B, M):
     tx = ave_train.make_optimizer(tr, TrainConfig(accum_steps=1), steps_per_epoch=100)
     opt_state = jax.device_put(tx.init(tr), tpu)
 
-    stacked = {}
-    for i in range(M):
-        b = ave_data.synthetic_batch(B, seed=i)
-        b["mixup_lambda"] = np.random.RandomState(i).beta(
-            0.5, 0.5, size=(B * cfg.num_frames,)).astype(np.float32)
-        for k, v in b.items():
-            stacked.setdefault(k, []).append(v)
-    stacked = {k: jax.device_put(jnp.asarray(np.stack(v)), tpu)
-               for k, v in stacked.items()}
+    # batches generated ON DEVICE (same shapes/dtypes as synthetic_batch +
+    # mixup lambdas, so the cached train_stream HLO is unchanged) — staging
+    # ~180 MB from host costs minutes on a slow tunnel day
+    T, S = cfg.num_frames, cfg.htsat.frontend.clip_samples
+    from dg_sct_tpu.data.ave import NUM_CLASSES  # gt: 28 fg classes + bg col
+
+    @jax.jit
+    def gen_batches(k):
+        kw, ki, kg, kl = jax.random.split(k, 4)
+        cls = jax.random.randint(kg, (M, B), 0, NUM_CLASSES)
+        gt = jax.nn.one_hot(jnp.repeat(cls[..., None], T, -1),
+                            NUM_CLASSES + 1, dtype=jnp.float32)
+        return {"wave": 0.1 * jax.random.normal(kw, (M, B, T, S), jnp.float32),
+                "image": jax.random.uniform(ki, (M, B, T, cfg.swin.img_size,
+                                                 cfg.swin.img_size, 3),
+                                            jnp.float32),
+                "gt": gt,
+                "mixup_lambda": jax.random.beta(kl, 0.5, 0.5, (M, B * T))
+                                .astype(jnp.float32)}
+
+    stacked = gen_batches(jax.random.PRNGKey(11))
     rngs = jax.random.split(jax.random.PRNGKey(1), M)
 
     @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
@@ -345,10 +364,12 @@ def bench_e2e(cfg, params, state, B, M):
     n = 0
     pending = None
     t0 = time.perf_counter()
-    for batch in ave_data.batched_iterator(ds, B, shuffle=False, num_workers=8,
-                                           prefetch=4):
-        out = fwd(params, state, jnp.asarray(batch["wave"]),
-                  jnp.asarray(batch["image"]))
+    # device_prefetch double-buffers the host->device copy (the tunnel's
+    # single-digit..tens-of-MB/s ingest otherwise serializes with compute)
+    for batch in ave_data.device_prefetch(
+            ave_data.batched_iterator(ds, B, shuffle=False, num_workers=8,
+                                      prefetch=4), size=2):
+        out = fwd(params, state, batch["wave"], batch["image"])
         if pending is not None:  # overlap fetch with the next step's decode
             assert np.isfinite(np.asarray(pending)).all()
         pending = out
@@ -524,6 +545,13 @@ def main():
         except Exception as e:
             print(f"# bf16 bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
+
+    # the forward phases are done with their shared input stacks: free the
+    # ~4.4 GB of device-resident (M,B,...) waves/imgs before train compiles,
+    # or the train step RESOURCE_EXHAUSTs the 16 GB chip (results_r4 s2 run)
+    _STACK_CACHE.clear()
+    import gc
+    gc.collect()
 
     # ---- phase 3: train step ----------------------------------------------
     if os.environ.get("BENCH_TRAIN", "1") == "1":

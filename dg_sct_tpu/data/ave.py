@@ -229,3 +229,44 @@ def batched_iterator(dataset, batch_size: int, *, shuffle=True, seed=0,
             yield batch
     finally:
         stop.set()
+
+
+def device_prefetch(it, *, size: int = 2, keys=("wave", "image")) -> Iterator[dict]:
+    """Double-buffered host->device staging: a daemon thread device_puts (and
+    fences) up to `size` batches AHEAD of the consumer, so the transfer of
+    batch k+1 overlaps the device forward of batch k. Through the axon tunnel
+    ingest runs at single-digit..tens of MB/s (bench_e2e measures it), which
+    otherwise serializes with compute; on attached hardware (PCIe) the same
+    overlap hides the copy entirely. Non-`keys` entries pass through on host
+    (labels stay host-side for metrics)."""
+    import jax
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def produce():
+        try:
+            for b in it:
+                if stop.is_set():
+                    return
+                staged = {k: (jax.device_put(v) if k in keys else v)
+                          for k, v in b.items()}
+                jax.block_until_ready([staged[k] for k in keys if k in staged])
+                q.put(staged)
+        except Exception as e:
+            q.put(e)
+            return
+        q.put(None)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            if isinstance(batch, Exception):
+                raise batch
+            yield batch
+    finally:
+        stop.set()

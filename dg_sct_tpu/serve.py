@@ -111,13 +111,21 @@ class AVEInferenceEngine:
         """Yield ({event_scores (chunk, B*T, n_cls+1), is_event_scores ...},
         ids) per chunk, with the NEXT chunk's decode and upload overlapping the
         current chunk's device execution (1-deep software pipeline)."""
+        from .data.ave import device_prefetch
+
         pending: Optional[tuple] = None
-        for waves, imgs, ids in self._chunk_batches(dataset):
-            imgs_dev = jnp.asarray(imgs)
+        # device_prefetch stages chunk k+1's host->device copy while chunk k
+        # executes (through the tunnel the copy otherwise serializes with
+        # compute; see bench.py bench_e2e's ingest measurement)
+        chunks = ({"wave": w, "image": im, "ids": ids}
+                  for w, im, ids in self._chunk_batches(dataset))
+        for ch in device_prefetch(chunks, size=2):
+            imgs_dev = ch["image"]
             if imgs_dev.dtype != jnp.uint8:  # uint8 stays raw: device norm
                 imgs_dev = imgs_dev.astype(self.dtype)
             fut = self._fn(self.params, self.state,
-                           jnp.asarray(waves).astype(self.dtype), imgs_dev)
+                           ch["wave"].astype(self.dtype), imgs_dev)
+            ids = ch["ids"]
             if pending is not None:
                 yield self._finish(pending)
             pending = (fut, ids)

@@ -134,3 +134,55 @@ def clip_from_transformers(hf, cfg):
     }
     to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     return to_jnp(vp), to_jnp(tp)
+
+
+def pvt_v2_from_transformers(hf, depths):
+    """`transformers.PvtV2Model` (or its state dict) -> our `models/pvt.py`
+    param tree. HF splits the reference's fused `kv` projection
+    (avs_s4/model/pvt.py:76-85) into separate key/value linears; the fused
+    column order is [key | value] (both reshape (B,S,2,heads,hd) and take
+    index 0 = key)."""
+    sd = _npify(hf.state_dict() if hasattr(hf, "state_dict") else hf)
+
+    def lin(pre):
+        return {"kernel": sd[pre + ".weight"].T, "bias": sd[pre + ".bias"]}
+
+    def ln(pre):
+        return {"scale": sd[pre + ".weight"], "bias": sd[pre + ".bias"]}
+
+    def conv(pre):
+        return {"kernel": sd[pre + ".weight"].transpose(2, 3, 1, 0),
+                "bias": sd[pre + ".bias"]}
+
+    stages = []
+    for s in range(len(depths)):
+        lpre = f"encoder.layers.{s}"
+        blocks = []
+        for b in range(depths[s]):
+            bpre = f"{lpre}.blocks.{b}"
+            a = bpre + ".attention"
+            p = {
+                "norm1": ln(bpre + ".layer_norm_1"),
+                "q": lin(a + ".query"),
+                "kv": {"kernel": np.concatenate(
+                           [sd[a + ".key.weight"].T,
+                            sd[a + ".value.weight"].T], axis=1),
+                       "bias": np.concatenate([sd[a + ".key.bias"],
+                                               sd[a + ".value.bias"]])},
+                "proj": lin(a + ".proj"),
+                "norm2": ln(bpre + ".layer_norm_2"),
+                "fc1": lin(bpre + ".mlp.dense1"),
+                "dwconv": conv(bpre + ".mlp.dwconv.dwconv"),
+                "fc2": lin(bpre + ".mlp.dense2"),
+            }
+            if a + ".spatial_reduction.weight" in sd:
+                p["sr"] = conv(a + ".spatial_reduction")
+                p["sr_norm"] = ln(a + ".layer_norm")
+            blocks.append(p)
+        stages.append({
+            "patch_embed": {"proj": conv(lpre + ".patch_embedding.proj"),
+                            "norm": ln(lpre + ".patch_embedding.layer_norm")},
+            "blocks": blocks,
+            "norm": ln(lpre + ".layer_norm"),
+        })
+    return jax.tree_util.tree_map(jnp.asarray, {"stages": stages})

@@ -90,6 +90,37 @@ def test_batched_iterator():
     assert batches[0]["image"].shape == (2, 2, 4, 4, 3)
 
 
+def test_device_prefetch():
+    """device_prefetch stages `keys` to device arrays ahead of the consumer,
+    passes other entries through untouched, and preserves order/values."""
+    import jax
+
+    def gen():
+        for i in range(5):
+            yield {"wave": np.full((2, 8), i, np.float32),
+                   "image": np.full((2, 4, 4, 3), i, np.uint8),
+                   "ids": [i]}
+
+    out = list(ave_data.device_prefetch(gen(), size=2))
+    assert [b["ids"] for b in out] == [[0], [1], [2], [3], [4]]
+    for i, b in enumerate(out):
+        assert isinstance(b["wave"], jax.Array)
+        assert isinstance(b["image"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["wave"]),
+                                      np.full((2, 8), i, np.float32))
+
+    # loader errors surface to the consumer
+    def bad():
+        yield {"wave": np.zeros((1,), np.float32), "image": np.zeros((1,), np.uint8)}
+        raise RuntimeError("decode failed")
+
+    it = ave_data.device_prefetch(bad(), size=2)
+    next(it)
+    import pytest
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+
+
 def test_avqa_real_metadata():
     """Our AVQA parsing against the REAL shipped MUSIC-AVQA metadata
     (`/root/reference/data/AVQA`): template substitution, tokenization bounds,

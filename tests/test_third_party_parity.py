@@ -415,3 +415,63 @@ def test_torch_convert_consumes_hf_swinv2_state_dict():
     from dg_sct_tpu.ops.basic import layer_norm
     tok = layer_norm(via_bridge["norm"], tok)
     np.testing.assert_allclose(np.asarray(tok), ref, atol=1e-4, rtol=1e-3)
+
+
+def test_pvt_v2_matches_transformers():
+    """PVT-v2 pyramid vs `transformers.PvtV2Model` — an independent port of
+    the same architecture the reference vendors (avs_s4/model/pvt.py). HF's
+    random weights transferred via hf_convert.pvt_v2_from_transformers must
+    reproduce all four stage outputs (SRA attention, DWConv MLP, overlapping
+    patch embeds with patch//2 padding, eps=1e-6 norms)."""
+    from transformers import PvtV2Config as HFConfig
+    from transformers import PvtV2Model
+    from dg_sct_tpu.models import pvt
+    from dg_sct_tpu.utils.hf_convert import pvt_v2_from_transformers
+
+    depths = [1, 1, 1, 1]
+    hf_cfg = HFConfig(depths=depths, hidden_sizes=[32, 64, 160, 256],
+                      num_attention_heads=[1, 2, 5, 8], sr_ratios=[8, 4, 2, 1],
+                      mlp_ratios=[8, 8, 4, 4], image_size=64,
+                      drop_path_rate=0.0, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = PvtV2Model(hf_cfg).eval()
+
+    cfg = pvt.PVTv2Config(img_size=64, embed_dims=(32, 64, 160, 256),
+                          depths=tuple(depths), num_heads=(1, 2, 5, 8),
+                          mlp_ratios=(8, 8, 4, 4), sr_ratios=(8, 4, 2, 1),
+                          drop_path_rate=0.0)
+    params = pvt_v2_from_transformers(hf, depths)
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                 output_hidden_states=True).hidden_states
+    ours = pvt.forward_features(params, jnp.asarray(img), cfg)
+    assert len(ours) == 4
+    for s in range(4):
+        r = _t(ref[s]).transpose(0, 2, 3, 1)     # NCHW -> NHWC
+        np.testing.assert_allclose(np.asarray(ours[s]), r,
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_pvt_v2_linear_sra_runs():
+    """The `_li` linear-SRA variant (adaptive 7x7 pool + 1x1 sr + GELU,
+    pvt.py:74-80, Mlp ReLU pvt.py:48-50) compiles and produces the same
+    pyramid geometry; drop_path active under train rng."""
+    from dg_sct_tpu.models import pvt
+
+    cfg = pvt.pvt_v2_b2_li(img_size=56, embed_dims=(8, 16, 32, 64),
+                           depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                           mlp_ratios=(2, 2, 2, 2), drop_path_rate=0.2)
+    params = pvt.init_pvt_v2(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(np.random.RandomState(0).randn(2, 56, 56, 3),
+                      jnp.float32)
+    outs = pvt.forward_features(params, img, cfg)
+    assert [o.shape for o in outs] == [(2, 14, 14, 8), (2, 7, 7, 16),
+                                       (2, 4, 4, 32), (2, 2, 2, 64)]
+    tr = pvt.forward_features(params, img, cfg, train=True,
+                              rng=jax.random.PRNGKey(1))
+    assert all(np.isfinite(np.asarray(t)).all() for t in tr)
+    assert not np.allclose(np.asarray(tr[-1]), np.asarray(outs[-1]))
