@@ -63,9 +63,11 @@ def vggish(params, x):
             x = jax.nn.relu(conv2d(params["convs"][ci], x))
             ci += 1
         x = _max_pool(x)
-    # torch VGGish flattens NCHW: permute to (N, C, H, W) order first
+    # the reference VGG.forward transposes NCHW -> NHWC before flattening
+    # ("remain compatible with vggish embeddings", torchvggish/vggish.py:23-29)
+    # — our features are already NHWC, so flatten directly
     N = x.shape[0]
-    x = x.transpose(0, 3, 1, 2).reshape(N, -1)
+    x = x.reshape(N, -1)
     x = jax.nn.relu(linear(params["fc1"], x))
     x = jax.nn.relu(linear(params["fc2"], x))
     return jax.nn.relu(linear(params["fc3"], x))

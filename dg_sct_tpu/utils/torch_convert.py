@@ -616,6 +616,28 @@ def convert_pvt_v2(sd, depths=(3, 6, 40, 3)):
     return {"stages": stages}
 
 
+def convert_vggish(sd):
+    """torchvggish VGG state dict (torchvggish/vggish.py:make_layers + the
+    embeddings MLP) -> models/vggish.py tree. Conv layers sit at Sequential
+    indices 0,3,6,8,11,13 (pools/ReLUs between); fc1/fc2/fc3 at
+    embeddings.{0,2,4}. The flatten order matches because the reference
+    transposes NCHW->NHWC before .view (vggish.py:23-29) and our features
+    are NHWC already."""
+    conv_idx = (0, 3, 6, 8, 11, 13)
+    return {"convs": [convert_conv2d(sd, f"features.{i}") for i in conv_idx],
+            "fc1": convert_linear(sd, "embeddings.0"),
+            "fc2": convert_linear(sd, "embeddings.2"),
+            "fc3": convert_linear(sd, "embeddings.4")}
+
+
+def convert_vggish_pca(sd):
+    """Postprocessor params (torchvggish/vggish.py:Postprocessor): torch keeps
+    pca_means as a (128, 1) column vector; ours is flat. torch applies
+    `M @ (e.T - means)` then transposes == our `(e - means) @ M.T`."""
+    return {"pca_matrix": np.asarray(sd["pca_eigen_vectors"]),
+            "pca_means": np.asarray(sd["pca_means"]).reshape(-1)}
+
+
 def convert_avs_model(sd, num_adapters=12, groups=2, tpavi_stages=(0, 1, 2, 3)):
     """Full Pred_endecoder state dict (saved as `model.module.state_dict()`,
     avs_s4/train.py:327) -> (params, state, pvt_params). `pvt_params` is the
