@@ -54,3 +54,53 @@ def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
                       float(min_compile_secs))
     _enabled = True
     return d
+
+
+def _cpu_fingerprint() -> str:
+    """Hash of the host's CPU feature flags + toolchain versions.
+
+    XLA:CPU AOT artifacts are machine-feature pinned; keying the cache dir by
+    this fingerprint makes CPU caching safe — a different host simply sees an
+    empty dir instead of loading SIGILL-risk entries.
+    """
+    import hashlib
+    import platform
+    import sys
+
+    bits = [platform.machine(), sys.version.split()[0]]
+    try:
+        import jax
+        bits.append(jax.__version__)
+    except Exception:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(bits).encode()).hexdigest()[:16]
+
+
+def enable_cpu_cache(min_compile_secs: float = 1.0) -> str:
+    """Persistent compile cache for XLA:CPU, keyed by a host fingerprint.
+
+    Used by dryrun_multichip: on the 1-core hosts this fleet runs on, the
+    virtual-8-device train-step compiles dominate the dryrun wall-clock
+    (MULTICHIP_r04 died at rc=124 on exactly these); a same-host rerun
+    loads them from disk in seconds.
+    """
+    global _enabled
+    import jax
+
+    if _enabled:
+        return cache_dir()
+    d = os.path.join(cache_dir(), "cpu-" + _cpu_fingerprint())
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    _enabled = True
+    return d
