@@ -158,6 +158,12 @@ class AdapterConfig:
     is_multimodal: bool = True
     alpha: float = 0.3   # channel-att blend (net_trans.py:611)
     beta: float = 0.05   # spatial-att blend
+    # AVS's VisualAdapter copy diverges from AVE's in the live multimodal
+    # path (avs_s4/model/PVT_AVSModel.py:160-170, 196-300): stage 1 aligns
+    # channels with `fc` FIRST then bicubic-resamples tokens on the sqrt grid
+    # (conv_adapter is dead weight there), and `ln_before` is NOT applied
+    # before the bottleneck. Proven by tests/test_reference_golden.py.
+    avs_variant: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,10 +211,10 @@ class AVSModelConfig:
     htsat: HTSATConfig = dataclasses.field(default_factory=HTSATConfig)
     adapter: AdapterConfig = dataclasses.field(
         default_factory=lambda: AdapterConfig(num_tokens=32, use_bn=False,
-                                              use_gate=False))
+                                              use_gate=False, avs_variant=True))
     adapter_vis: AdapterConfig = dataclasses.field(
         default_factory=lambda: AdapterConfig(num_tokens=32, use_bn=False,
-                                              use_gate=True))
+                                              use_gate=True, avs_variant=True))
     num_frames: int = 5
     channel: int = 256
     mask_size: int = 224

@@ -68,6 +68,51 @@ def init_adapter(key, *, dim, other_dim, num_tokens_self, num_tokens_other,
     return params, state
 
 
+def fold_eval(params, state, cfg: AdapterConfig):
+    """Serving-time transform: fold the eval-mode BN affines into the
+    bottleneck GEMM kernels and the scalar gate into ln_post.
+
+    In eval, BN is a per-channel affine of its running stats, so
+    bn(W x) == (inv*W) x + (b - inv*m) with inv = scale/sqrt(var+eps) —
+    exact, and it deletes two full elementwise passes over the (B*T, N, C)
+    activations per adapter call (the adapter stack is the largest measured
+    non-matmul tail item: 13.3 ms/step, perf/results_r4/knockouts_int8.log).
+    Returns (params', state') with the folded keys REMOVED; the forward
+    detects folding by key absence.  Weight-quantization composes: the
+    folded kernels quantize like any others and activation values are
+    unchanged, so calibrated scale files stay valid.
+    """
+    if not (cfg.use_bn and "bn1" in params) and not (
+            cfg.use_gate and cfg.is_post_layernorm and not cfg.avs_variant):
+        return params, state
+    p, s = dict(params), dict(state)
+    if cfg.use_bn and "bn1" in p:
+        for bn_name, gemm in (("bn1", "down"), ("bn2", "up")):
+            bp, bs = p.pop(bn_name), s.pop(bn_name)
+            inv = (bp["scale"] / jnp.sqrt(bs["var"] + 1e-5)).astype(
+                p[gemm]["kernel"].dtype)
+            gp = dict(p[gemm])
+            g, gi, go = gp["kernel"].shape
+            gp["kernel"] = gp["kernel"] * inv.reshape(g, 1, go)
+            bias = bp["bias"] - bs["mean"] * (bp["scale"] /
+                                              jnp.sqrt(bs["var"] + 1e-5))
+            if "bias" in gp:
+                bias = bias + gp["bias"] * inv
+            gp["bias"] = bias.astype(gp["kernel"].dtype)
+            p[gemm] = gp
+    # gate * ln_post(x) == ln_post with (scale*g, bias*g) — AVE epilogue
+    # order only (the AVS variant gates BEFORE ln_post, where LN absorbs the
+    # gate's magnitude anyway)
+    if (cfg.use_gate and "gate" in p and cfg.is_post_layernorm
+            and not cfg.avs_variant):
+        g = p.pop("gate")
+        ln = dict(p["ln_post"])
+        ln["scale"] = ln["scale"] * g
+        ln["bias"] = ln["bias"] * g
+        p["ln_post"] = ln
+    return p, s
+
+
 def _token_linear(p, x, *, with_bias=True):
     """Apply a (M, N) token-axis map to x (B, M, D) -> (B, N, D) THROUGH
     `ops.basic.linear` rather than a raw einsum: linear dispatches the int8
@@ -106,9 +151,17 @@ def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
     # cheaper order for this geometry (e.g. stage-0 audio adapters halve their
     # FLOPs by aligning channels 192->96 before resampling 2304->4096 tokens).
     M, D = other.shape[1], other.shape[2]
-    resample_first_flops = M * N * D + N * D * C
-    align_first_flops = M * D * C + M * N * C
-    if resample_first_flops <= align_first_flops:
+    if cfg.avs_variant:
+        # AVS copy (PVT_AVSModel.py:160-170): channel-align with `fc` first,
+        # then bicubic-resample tokens on the sqrt grid (baked-matmul resize;
+        # the conv_adapter weights are dead in that tree).
+        from ..ops import dsp
+        p = linear(params["chan_align"], other)                  # (B, M, C)
+        s_in, s_out = int(M ** 0.5), int(N ** 0.5)
+        p = p.reshape(B, s_in, s_in, C)
+        p = dsp.resize_2d(p, s_out, s_out, kernel="cubic", align_corners=False)
+        prompts = p.reshape(B, N, C)
+    elif (resample_first_flops := M * N * D + N * D * C) <= M * D * C + M * N * C:
         p = _token_linear(params["token_resample"], other)        # (B, N, D)
         prompts = linear(params["chan_align"], p)                 # (B, N, C)
     else:
@@ -150,21 +203,33 @@ def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
     x = x * (cfg.alpha * ch_map + cfg.beta * sp_sigmoid + 1.0 - cfg.alpha)
 
     # ---- stage 5: bottleneck (net_trans.py:626-671) --------------------------
+    # The AVS copy skips ln_before in its live multimodal branch
+    # (PVT_AVSModel.py:272-276 has no ln_before; the weights exist but are
+    # dead there).
     z = x
-    if cfg.is_before_layernorm:
+    if cfg.is_before_layernorm and not cfg.avs_variant:
         z = layer_norm(params["ln_before"], z)
     new_state = dict(state)
     h = grouped_linear(params["down"], z)
-    if cfg.use_bn:
+    if cfg.use_bn and "bn1" in params:   # absent after fold_eval
         h, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], h,
                                          train=train, axis=-1)
     h = jax.nn.relu(h)
     out = grouped_linear(params["up"], h)
-    if cfg.use_bn:
+    if cfg.use_bn and "bn2" in params:
         out, new_state["bn2"] = batch_norm(params["bn2"], state["bn2"], out,
                                            train=train, axis=-1)
-    if cfg.is_post_layernorm:
-        out = layer_norm(params["ln_post"], out)
-    if cfg.use_gate:
-        out = params["gate"] * out
+    # Epilogue order differs per copy: AVE/AVVP/AVQA apply ln_post then gate
+    # (net_trans.py:667-671); AVS gates FIRST then ln_post
+    # (PVT_AVSModel.py:306-311).
+    if cfg.avs_variant:
+        if cfg.use_gate and "gate" in params:
+            out = params["gate"] * out
+        if cfg.is_post_layernorm:
+            out = layer_norm(params["ln_post"], out)
+    else:
+        if cfg.is_post_layernorm:
+            out = layer_norm(params["ln_post"], out)
+        if cfg.use_gate and "gate" in params:   # folded into ln_post by fold_eval
+            out = params["gate"] * out
     return out, sp_maps, new_state

@@ -131,7 +131,7 @@ def block(params, x, H, W, *, heads, sr_ratio, linear_sra=False, eps=1e-6,
         img = xn.reshape(B, H, W, C)
         red = conv2d(params["sr"], _adaptive_avg_pool(img, 7), stride=1)
         red = layer_norm(params["sr_norm"], red.reshape(B, -1, C), eps=eps)
-        red = jax.nn.gelu(red)
+        red = jax.nn.gelu(red, approximate=False)
     elif sr_ratio > 1:
         img = xn.reshape(B, H, W, C)
         red = conv2d(params["sr"], img, stride=sr_ratio, padding="VALID")
@@ -153,7 +153,7 @@ def block(params, x, H, W, *, heads, sr_ratio, linear_sra=False, eps=1e-6,
     if linear_sra:                       # Mlp(linear=True): ReLU before the
         h = jax.nn.relu(h)               # DWConv (pvt.py:48-50)
     h = _dwconv(params["dwconv"], h, H, W)
-    h = jax.nn.gelu(h)
+    h = jax.nn.gelu(h, approximate=False)
     return x + drop_path(r2, linear(params["fc2"], h), dpr, train)
 
 

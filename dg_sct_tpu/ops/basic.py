@@ -71,7 +71,14 @@ def mlp_init(key, dim, hidden, out=None, dtype=jnp.float32):
             "fc2": linear_init(k2, hidden, out, dtype=dtype)}
 
 
-def mlp(params, x, act=jax.nn.gelu):
+def gelu_exact(x):
+    """torch `nn.GELU()` default is the exact erf form; jax.nn.gelu defaults
+    to the tanh approximation (~1e-3 drift/layer — caught by
+    tests/test_reference_golden.py on the grouping AttnBlocks)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mlp(params, x, act=gelu_exact):
     from . import ablate
     if ablate.on("gelu"):
         act = jax.nn.relu
