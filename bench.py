@@ -46,7 +46,9 @@ measure the towers-only int8 variant — a separate ~7 min cold compile),
 BENCH_INT8_RECAL=0/1 (0), BENCH_INT8_ATTN=0/1 (0; int8 MXU attention core —
 measured a loss on hardware, perf/results_r3/int8_attn.log),
 BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8), BENCH_REMAT=none|full|dots
-(none), BENCH_KEEP_STDERR=0/1 (0), BENCH_FWD=0/1 (1; the bf16 forward).
+(none), BENCH_KEEP_STDERR=0/1 (0), BENCH_FWD=0/1 (1; the bf16 forward),
+BENCH_AVS=0/1 (1; AVS S4 forward — second task family on device),
+BENCH_AVS_BATCH (4), BENCH_AVS_ITERS (8).
 """
 from __future__ import annotations
 
@@ -343,11 +345,19 @@ def bench_e2e(cfg, params, state, B, M):
     _ = np.asarray(fwd(params, state, jnp.asarray(wave_i16),
                        jnp.asarray(imgs_u8)))
 
+    # e2e tuning knobs: on a 1-core host the decode workers, the staging
+    # thread and jax dispatch all share the core — the best worker count is
+    # NOT the r3 default 8 (BENCH_E2E_WORKERS/PREFETCH/DP sweep in
+    # perf/tpu_queue_r5.sh)
+    nw = int(os.environ.get("BENCH_E2E_WORKERS", "8"))
+    pf = int(os.environ.get("BENCH_E2E_PREFETCH", "4"))
+    dp = int(os.environ.get("BENCH_E2E_DP", "2"))
+
     # host-pipeline cap: iterator-only pass (decode+resize+batch, no device)
     t0 = time.perf_counter()
     nh = sum(b["wave"].shape[0]
              for b in ave_data.batched_iterator(ds, B, shuffle=False,
-                                                num_workers=8, prefetch=4))
+                                                num_workers=nw, prefetch=pf))
     bench_e2e.host_pipeline_clips_per_sec = round(
         nh / (time.perf_counter() - t0), 2)
 
@@ -367,8 +377,8 @@ def bench_e2e(cfg, params, state, B, M):
     # device_prefetch double-buffers the host->device copy (the tunnel's
     # single-digit..tens-of-MB/s ingest otherwise serializes with compute)
     for batch in ave_data.device_prefetch(
-            ave_data.batched_iterator(ds, B, shuffle=False, num_workers=8,
-                                      prefetch=4), size=2):
+            ave_data.batched_iterator(ds, B, shuffle=False, num_workers=nw,
+                                      prefetch=pf), size=dp):
         out = fwd(params, state, batch["wave"], batch["image"])
         if pending is not None:  # overlap fetch with the next step's decode
             assert np.isfinite(np.asarray(pending)).all()
@@ -377,6 +387,64 @@ def bench_e2e(cfg, params, state, B, M):
     assert np.isfinite(np.asarray(pending)).all()
     dt = time.perf_counter() - t0
     return n / dt
+
+
+def bench_avs(B, M):
+    """AVS S4 forward throughput: proves the shared interleaved encoder
+    serving a SECOND head family on device — 5-frame clips at mask_size 224,
+    full mask decoder + TPAVI live (reference forward:
+    avs_s4/model/PVT_AVSModel.py:783-962).  Same streaming-scan methodology
+    as bench_forward."""
+    import jax
+    import jax.numpy as jnp
+    from dg_sct_tpu.configs import AVSModelConfig
+    from dg_sct_tpu.models import avs
+
+    cfg = AVSModelConfig(compute_dtype=jnp.bfloat16)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params, state = avs.init_avs_model(jax.random.PRNGKey(0), cfg)
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
+        params, state = cast(params), cast(state)
+    tpu = jax.devices()[0]
+    params, state = jax.device_put(params, tpu), jax.device_put(state, tpu)
+    T = cfg.num_frames
+
+    @jax.jit
+    def gen(k):
+        kw, ki = jax.random.split(k)
+        waves = 0.1 * jax.random.normal(
+            kw, (M, B, T, cfg.htsat.frontend.clip_samples), jnp.bfloat16)
+        imgs = jax.random.uniform(
+            ki, (M, B, T, cfg.mask_size, cfg.mask_size, 3), jnp.bfloat16)
+        return waves, imgs
+
+    @jax.jit
+    def fwd_stream(params, state, waves, imgs):
+        def body(carry, wi):
+            w, im = wi
+            out, _, _, _ = avs.forward(params, state, im, w, cfg, train=False)
+            # fetch a reduction of the (B*T, 224, 224, 1) mask logits — the
+            # decoder runs in full; only the fetch is slimmed
+            return carry, jnp.mean(out["pred"], axis=(1, 2, 3))
+
+        _, outs = jax.lax.scan(body, 0, (waves, imgs))
+        return outs
+
+    reps = 3
+    stacks = [gen(jax.random.PRNGKey(100 + i)) for i in range(reps + 1)]
+    jax.block_until_ready(stacks)
+    t0 = time.perf_counter()
+    _ = np.asarray(fwd_stream(params, state, *stacks[-1]))
+    bench_avs.compile_s = round(time.perf_counter() - t0, 1)
+    times = []
+    for (w, i) in stacks[:reps]:
+        t0 = time.perf_counter()
+        out = np.asarray(fwd_stream(params, state, w, i))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(out).all()
+    dt = sorted(times)[len(times) // 2]
+    return B * M / dt
 
 
 def main():
@@ -418,6 +486,11 @@ def main():
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):
         params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+        if os.environ.get("BENCH_FOLD", "1") == "1":
+            # eval-exact: BN affines -> bottleneck kernels, gates -> ln_post
+            # (tests/test_fold_eval.py); deletes ~96 elementwise passes/step
+            from dg_sct_tpu.models import interleave as _I
+            params, state = _I.fold_adapters_eval(params, state, cfg)
         cast = lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
         params, state = cast(params), cast(state)
@@ -580,6 +653,17 @@ def main():
             result["host_cores"] = os.cpu_count()
         except Exception as e:
             result["e2e_error"] = f"{type(e).__name__}: {e}"[:120]
+        emit()
+
+    # ---- phase 5: AVS S4 forward (second task family on device) ------------
+    if os.environ.get("BENCH_AVS", "1") == "1":
+        try:
+            result["avs_clips_per_sec"] = round(
+                bench_avs(int(os.environ.get("BENCH_AVS_BATCH", "4")),
+                          int(os.environ.get("BENCH_AVS_ITERS", "8"))), 2)
+            result["avs_compile_s"] = getattr(bench_avs, "compile_s", None)
+        except Exception as e:
+            result["avs_error"] = f"{type(e).__name__}: {e}"[:120]
         emit()
 
     if not measured and all(k not in result for k in

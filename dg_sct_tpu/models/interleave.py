@@ -193,6 +193,26 @@ def init_adapters(key, cfg: AVEModelConfig, dtype=jnp.float32):
     return params, state
 
 
+def fold_adapters_eval(params, state, cfg):
+    """Serving-time transform: `adapter.fold_eval` over all four ModuleLists
+    (BN affines folded into the bottleneck kernels, scalar gates into
+    ln_post).  Exact in eval; use on a model's (params, state) before jit."""
+    acfg = cfg.adapter
+    vis_cfg = getattr(cfg, "adapter_vis", None) or cfg.adapter
+    p, s = dict(params), dict(state)
+    newp = {k: [] for k in ADKEYS}
+    news = {k: [] for k in ADKEYS}
+    for k in ADKEYS:
+        c = acfg if k.startswith("a_") else vis_cfg
+        for ap, ast in zip(params["adapters"][k], state["adapters"][k]):
+            fp, fs = A.fold_eval(ap, ast, c)
+            newp[k].append(fp)
+            news[k].append(fs)
+    p["adapters"] = newp
+    s["adapters"] = news
+    return p, s
+
+
 def forward(params, state, wave, images, cfg: AVEModelConfig, *, train=False,
             rng=None, mixup_lambda=None, return_stage_taps=False):
     """wave: (N, L) flattened clips; images: (N, H, W, 3) flattened frames.

@@ -37,7 +37,8 @@ class AVEInferenceEngine:
     def __init__(self, cfg: AVEModelConfig, params, state, *, batch_size: int = 4,
                  chunk: int = 8, compute_dtype=jnp.bfloat16, prefetch: int = 2,
                  num_workers: int = 8, int8_towers: bool = False,
-                 int8_adapters: bool = False, act_scales=None):
+                 int8_adapters: bool = False, act_scales=None,
+                 fold_eval: bool = True):
         from .utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
         self.cfg = cfg
@@ -47,6 +48,11 @@ class AVEInferenceEngine:
         self.num_workers = num_workers
         self.dtype = compute_dtype
 
+        if fold_eval:
+            # eval-exact adapter folding: BN affines into the bottleneck
+            # kernels, scalar gates into ln_post (tests/test_fold_eval.py)
+            from .models.interleave import fold_adapters_eval
+            params, state = fold_adapters_eval(params, state, cfg)
         cast = lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
