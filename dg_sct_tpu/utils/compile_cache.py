@@ -28,7 +28,14 @@ def cache_dir() -> str:
     if not d:
         base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
         d = os.path.join(base, "dg_sct_tpu", "xla")
-    return d
+    # Host-fingerprinted subdir: a process using the TPU backend still
+    # compiles its host-side (CPU) programs into the same cache dir, and
+    # XLA:CPU AOT entries are machine-feature pinned — round-5's bench log
+    # caught entries written on an AMX-capable host loading here with
+    # "could lead to execution errors such as SIGILL" (cpu_aot_loader).
+    # Keying by host features means a machine hop costs a cold compile
+    # instead of risking miscompute.
+    return os.path.join(d, "host-" + _cpu_fingerprint())
 
 
 def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
@@ -85,19 +92,17 @@ def _cpu_fingerprint() -> str:
 
 
 def enable_cpu_cache(min_compile_secs: float = 1.0) -> str:
-    """Persistent compile cache for XLA:CPU, keyed by a host fingerprint.
-
-    Used by dryrun_multichip: on the 1-core hosts this fleet runs on, the
-    virtual-8-device train-step compiles dominate the dryrun wall-clock
-    (MULTICHIP_r04 died at rc=124 on exactly these); a same-host rerun
-    loads them from disk in seconds.
-    """
+    """Persistent compile cache for XLA:CPU-only processes (dryrun_multichip:
+    on the 1-core hosts this fleet runs on, the virtual-8-device train-step
+    compiles dominate the dryrun wall-clock — MULTICHIP_r04 died at rc=124 on
+    exactly these; a same-host rerun loads them from disk in seconds).
+    `cache_dir()` is host-fingerprinted, so this is safe cross-machine."""
     global _enabled
     import jax
 
+    d = cache_dir()
     if _enabled:
-        return cache_dir()
-    d = os.path.join(cache_dir(), "cpu-" + _cpu_fingerprint())
+        return d
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
