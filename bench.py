@@ -423,7 +423,7 @@ def bench_avs(B, M):
     def fwd_stream(params, state, waves, imgs):
         def body(carry, wi):
             w, im = wi
-            out, _, _, _ = avs.forward(params, state, im, w, cfg, train=False)
+            out, _ = avs.forward(params, state, im, w, cfg, train=False)
             # fetch a reduction of the (B*T, 224, 224, 1) mask logits — the
             # decoder runs in full; only the fetch is slimmed
             return carry, jnp.mean(out["pred"], axis=(1, 2, 3))

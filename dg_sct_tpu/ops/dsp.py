@@ -124,11 +124,14 @@ def bicubic_resize_matrix(n_in: int, n_out: int, align_corners: bool = True) -> 
 
 
 def resize_2d(x, out_h, out_w, *, kernel="cubic", align_corners=False):
-    """Separable torch-compatible resize on (N, H, W, C) via two matmuls."""
+    """Separable torch-compatible resize on (N, H, W, C) via two matmuls.
+
+    Dtype-preserving: the baked basis matrices are cast to x.dtype so a bf16
+    activation stays bf16 (float32 inputs keep exact float32 torch parity)."""
     Mh = jnp.asarray(resize_matrix(x.shape[1], out_h, kernel=kernel,
-                                   align_corners=align_corners))
+                                   align_corners=align_corners), dtype=x.dtype)
     Mw = jnp.asarray(resize_matrix(x.shape[2], out_w, kernel=kernel,
-                                   align_corners=align_corners))
+                                   align_corners=align_corners), dtype=x.dtype)
     x = jnp.einsum("oh,nhwc->nowc", Mh, x)
     return jnp.einsum("ow,nhwc->nhoc", Mw, x)
 

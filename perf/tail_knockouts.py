@@ -61,7 +61,6 @@ def main_train():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dg_sct_tpu.configs import AVEModelConfig, TrainConfig
-    from dg_sct_tpu.data import ave as ave_data
     from dg_sct_tpu.models import ave, interleave
     from dg_sct_tpu.ops import ablate
     from dg_sct_tpu.train import ave_train, losses
@@ -80,22 +79,35 @@ def main_train():
     opt0 = jax.device_put(tx.init(tr0), tpu)
 
     B, M = 4, 8
-    stacked = {}
-    for i in range(M):
-        b = ave_data.synthetic_batch(B, seed=i)
-        b["mixup_lambda"] = np.random.RandomState(i).beta(
-            0.5, 0.5, size=(B * cfg.num_frames,)).astype(np.float32)
-        for k, v in b.items():
-            stacked.setdefault(k, []).append(v)
-    stacked = {k: jax.device_put(jnp.asarray(np.stack(v)), tpu)
-               for k, v in stacked.items()}
+    # batches generated ON DEVICE (no ~180 MB tunnel staging) and fr passed
+    # as an explicit jit ARGUMENT — closing over the frozen tree bakes it
+    # into the compile request, which blows the remote-compile body limit
+    # (r5: HTTP 413) on tunneled chips.
+    T, S = cfg.num_frames, cfg.htsat.frontend.clip_samples
+    from dg_sct_tpu.data.ave import NUM_CLASSES
+
+    @jax.jit
+    def gen_batches(k):
+        kw, ki, kg, kl = jax.random.split(k, 4)
+        cls = jax.random.randint(kg, (M, B), 0, NUM_CLASSES)
+        gt = jax.nn.one_hot(jnp.repeat(cls[..., None], T, -1),
+                            NUM_CLASSES + 1, dtype=jnp.float32)
+        return {"wave": 0.1 * jax.random.normal(kw, (M, B, T, S), jnp.float32),
+                "image": jax.random.uniform(ki, (M, B, T, cfg.swin.img_size,
+                                                 cfg.swin.img_size, 3),
+                                            jnp.float32),
+                "gt": gt,
+                "mixup_lambda": jax.random.beta(kl, 0.5, 0.5, (M, B * T))
+                                .astype(jnp.float32)}
+
+    stacked = gen_batches(jax.random.PRNGKey(11))
 
     base_ms = None
     for names in TRAIN_VARIANTS:
         ablate.set_ablations(*names)
 
         @jax.jit
-        def train_stream(tr, state, opt_state, batches, rngs):
+        def train_stream(tr, fr, state, opt_state, batches, rngs):
             def body(carry, x):
                 tr, state, opt_state = carry
                 batch, rng = x
@@ -118,13 +130,13 @@ def main_train():
             return ls
 
         t0 = time.perf_counter()
-        _ = np.asarray(train_stream(tr0, state0, opt0, stacked,
+        _ = np.asarray(train_stream(tr0, fr, state0, opt0, stacked,
                                     jax.random.split(jax.random.PRNGKey(1), M)))
         compile_s = round(time.perf_counter() - t0, 1)
         times = []
         for seed in (2, 3):
             t0 = time.perf_counter()
-            _ = np.asarray(train_stream(tr0, state0, opt0, stacked,
+            _ = np.asarray(train_stream(tr0, fr, state0, opt0, stacked,
                                         jax.random.split(jax.random.PRNGKey(seed), M)))
             times.append(time.perf_counter() - t0)
         dt = min(times)
