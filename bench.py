@@ -48,7 +48,9 @@ measured a loss on hardware, perf/results_r3/int8_attn.log),
 BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8), BENCH_REMAT=none|full|dots
 (none), BENCH_KEEP_STDERR=0/1 (0), BENCH_FWD=0/1 (1; the bf16 forward),
 BENCH_AVS=0/1 (1; AVS S4 forward — second task family on device),
-BENCH_AVS_BATCH (4), BENCH_AVS_ITERS (8).
+BENCH_AVS_BATCH (4), BENCH_AVS_ITERS (8), BENCH_FOLD=0/1 (1; eval-time
+adapter BN/gate folding), BENCH_GELU=exact|tanh (exact; tanh swaps every
+MLP's erf GELU for the tanh approximation — serving-only).
 """
 from __future__ import annotations
 
@@ -482,6 +484,11 @@ def main():
     if os.environ.get("BENCH_SCAN", "0") == "1":  # measured slower; see interleave.py
         from dg_sct_tpu.models import interleave as I
         I.set_scan(True)
+    if os.environ.get("BENCH_GELU", "exact") == "tanh":
+        # serving-only: tanh-approx GELU in every MLP (<=3e-3 abs vs the
+        # parity-exact erf form — below bf16 activation rounding noise)
+        from dg_sct_tpu.ops import basic as _basic
+        _basic.set_gelu_mode("tanh")
 
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):

@@ -78,7 +78,28 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-def mlp(params, x, act=gelu_exact):
+# Parity default is the exact erf GELU (torch nn.GELU()).  Serving configs
+# may select the tanh approximation (`set_gelu_mode("tanh")`): in bf16
+# compute the two differ by <= 3e-3 absolute (max near |x|~2), below the
+# activation-magnitude bf16 rounding noise of the towers, but the erf
+# lowering costs measurably more VPU time per MLP pass on v5e.
+_GELU_MODE = "exact"
+
+
+def set_gelu_mode(mode: str):
+    """"exact" (torch-parity erf form, default) or "tanh" (serving)."""
+    global _GELU_MODE
+    assert mode in ("exact", "tanh"), mode
+    _GELU_MODE = mode
+
+
+def default_gelu(x):
+    if _GELU_MODE == "tanh":
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mlp(params, x, act=default_gelu):
     from . import ablate
     if ablate.on("gelu"):
         act = jax.nn.relu
