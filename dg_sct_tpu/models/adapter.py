@@ -151,7 +151,10 @@ def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
     # cheaper order for this geometry (e.g. stage-0 audio adapters halve their
     # FLOPs by aligning channels 192->96 before resampling 2304->4096 tokens).
     M, D = other.shape[1], other.shape[2]
-    if cfg.avs_variant:
+    if ablate.on("ad_stage1"):  # perf knockout: skip resample/align GEMMs
+        prompts = jnp.broadcast_to(jnp.mean(other, axis=(1, 2))[:, None, None],
+                                   (B, N, C)).astype(x.dtype)
+    elif cfg.avs_variant:
         # AVS copy (PVT_AVSModel.py:160-170): channel-align with `fc` first,
         # then bicubic-resample tokens on the sqrt grid (baked-matmul resize;
         # the conv_adapter weights are dead in that tree).
@@ -177,35 +180,41 @@ def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
                    + params["chan_align"]["bias"])
 
     # ---- stage 2: latent-token two-hop attention (net_trans.py:572-589) ------
-    tok = params["latent_tokens"]                                  # (T, C)
-    # att_v2tk = softmax over prompt *channel-transposed* axis: the reference
-    # bmm's (B,T,C)x(B,C,N) -> (B,T,N), softmax over N
-    att_v2tk = jax.nn.softmax(jnp.einsum("tc,bnc->btn", tok, prompts), axis=-1)
-    rep = tok[None] + jnp.einsum("btn,bnc->btc", att_v2tk, prompts)
-    att_tk2x = jax.nn.softmax(jnp.einsum("bnc,btc->bnt", x, rep), axis=-1)
-    x = x + params["gate_av"] * jnp.einsum("bnt,btc->bnc", att_tk2x, rep)
+    if not ablate.on("ad_stage2"):
+        tok = params["latent_tokens"]                              # (T, C)
+        # att_v2tk = softmax over prompt *channel-transposed* axis: the
+        # reference bmm's (B,T,C)x(B,C,N) -> (B,T,N), softmax over N
+        att_v2tk = jax.nn.softmax(jnp.einsum("tc,bnc->btn", tok, prompts), axis=-1)
+        rep = tok[None] + jnp.einsum("btn,bnc->btc", att_v2tk, prompts)
+        att_tk2x = jax.nn.softmax(jnp.einsum("bnc,btc->bnt", x, rep), axis=-1)
+        x = x + params["gate_av"] * jnp.einsum("bnt,btc->bnc", att_tk2x, rep)
 
-    # ---- stage 3: channel attention (net_trans.py:592-598) -------------------
-    other_mean = jnp.mean(prompts, axis=1)                         # (B, C)
-    q_a = jax.nn.relu(linear(params["aff_audio_1"], other_mean))[:, None, :]
-    q_v = jax.nn.relu(linear(params["aff_video_1"], x))            # (B, N, C)
-    joint = jnp.mean(q_a * q_v, axis=1)                            # (B, C)
-    joint = jax.nn.relu(linear(params["aff_bottleneck"], joint))
-    ch_map = jax.nn.sigmoid(linear(params["aff_v_c_att"], joint))[:, None, :]  # (B,1,C)
-    x_ch = x * (ch_map + 1.0)
+    if ablate.on("ad_stage34"):  # perf knockout: skip modulation
+        sp_maps = jnp.full((B, 1, N), 1.0 / N, x.dtype)
+    else:
+        # ---- stage 3: channel attention (net_trans.py:592-598) ---------------
+        other_mean = jnp.mean(prompts, axis=1)                     # (B, C)
+        q_a = jax.nn.relu(linear(params["aff_audio_1"], other_mean))[:, None, :]
+        q_v = jax.nn.relu(linear(params["aff_video_1"], x))        # (B, N, C)
+        joint = jnp.mean(q_a * q_v, axis=1)                        # (B, C)
+        joint = jax.nn.relu(linear(params["aff_bottleneck"], joint))
+        ch_map = jax.nn.sigmoid(linear(params["aff_v_c_att"], joint))[:, None, :]  # (B,1,C)
+        x_ch = x * (ch_map + 1.0)
 
-    # ---- stage 4: spatial attention (net_trans.py:600-613) -------------------
-    q_v2 = jax.nn.relu(linear(params["aff_video_2"], x_ch))        # (B, N, d)
-    q_a2 = jax.nn.relu(linear(params["aff_audio_2"], other_mean))[:, None, :]
-    sp_logits = linear(params["aff_v_s_att"], q_v2 * q_a2)         # (B, N, 1)
-    sp_sigmoid = jax.nn.sigmoid(sp_logits)                         # (B, N, 1)
-    sp_maps = jax.nn.softmax(jnp.tanh(sp_logits).transpose(0, 2, 1), axis=-1)  # (B,1,N)
-    x = x * (cfg.alpha * ch_map + cfg.beta * sp_sigmoid + 1.0 - cfg.alpha)
+        # ---- stage 4: spatial attention (net_trans.py:600-613) ---------------
+        q_v2 = jax.nn.relu(linear(params["aff_video_2"], x_ch))    # (B, N, d)
+        q_a2 = jax.nn.relu(linear(params["aff_audio_2"], other_mean))[:, None, :]
+        sp_logits = linear(params["aff_v_s_att"], q_v2 * q_a2)     # (B, N, 1)
+        sp_sigmoid = jax.nn.sigmoid(sp_logits)                     # (B, N, 1)
+        sp_maps = jax.nn.softmax(jnp.tanh(sp_logits).transpose(0, 2, 1), axis=-1)  # (B,1,N)
+        x = x * (cfg.alpha * ch_map + cfg.beta * sp_sigmoid + 1.0 - cfg.alpha)
 
     # ---- stage 5: bottleneck (net_trans.py:626-671) --------------------------
     # The AVS copy skips ln_before in its live multimodal branch
     # (PVT_AVSModel.py:272-276 has no ln_before; the weights exist but are
     # dead there).
+    if ablate.on("ad_stage5"):  # perf knockout: zero residual
+        return jnp.zeros_like(x), sp_maps, dict(state)
     z = x
     if cfg.is_before_layernorm and not cfg.avs_variant:
         z = layer_norm(params["ln_before"], z)

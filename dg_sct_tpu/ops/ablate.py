@@ -14,6 +14,13 @@ the 6-d transpose — wrong grouping, same shapes), "adapters" (all 48
 adapter calls return zero residuals + uniform maps), "heads" (skip
 temporal_attn + CMBS, fabricate logits from tower means), "frontend"
 (skip STFT/logmel/bn0/reshape — mel image from a broadcast wave mean).
+
+Adapter stage-level flags (attribute the 13.3 ms adapter tail,
+perf/results_r4/knockouts_int8.log, before fusing anything): "ad_stage1"
+(prompts = broadcast mean of the other modality — skips the resample/align
+GEMMs), "ad_stage2" (skip the latent-token two-hop attention), "ad_stage34"
+(skip channel+spatial modulation; uniform sp_maps), "ad_stage5" (zero
+residual — skips LN/bottleneck GEMMs/epilogue).
 """
 ACTIVE: frozenset = frozenset()
 

@@ -57,4 +57,11 @@ run knockouts_train2 7200 env KNOCKOUT_TRAIN=1 python perf/tail_knockouts.py
 run avs_fwd 3600 env BENCH_FWD=0 BENCH_INT8=0 BENCH_TRAIN=0 BENCH_E2E=0 \
     python bench.py
 
+# 6. adapter stage attribution (before fusing anything: which of the 13.3 ms
+# is stage 2 two-hop vs stage 3/4 modulation vs stage 5 bottleneck vs the
+# stage-1 resample GEMMs)
+run knockouts_adstages 5400 env KNOCKOUT_INT8=1 \
+    KNOCKOUT_VARIANTS=",ad_stage1,ad_stage2,ad_stage34,ad_stage5,adapters" \
+    python perf/tail_knockouts.py
+
 echo "queue r5b complete"
