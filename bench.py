@@ -372,6 +372,10 @@ def bench_e2e(cfg, params, state, B, M):
                                jax.device_put(imgs_u8 + np.uint8(k))))
         ts.append(time.perf_counter() - t0)
     bench_e2e.ingest_mb_per_sec = round(mb / sorted(ts)[1], 2)
+    # the clips/s this tunnel's ingest rate alone permits (payload mb covers
+    # B clips) — e2e cannot exceed min(host pipeline, this)
+    bench_e2e.ingest_cap_clips_per_sec = round(
+        bench_e2e.ingest_mb_per_sec / (mb / B), 2)
 
     n = 0
     pending = None
@@ -491,6 +495,15 @@ def main():
         _basic.set_gelu_mode("tanh")
 
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_STFT", "f32") == "bf16":
+        # serving fast path: the 84-GFLOP/step frame x DFT-basis GEMM on the
+        # bf16 MXU with f32 accumulation (<0.35 dB log-mel drift,
+        # tests/test_dsp.py::test_power_spectrogram_bf16_drift); default f32
+        # otherwise runs the biggest single GEMM of the frontend off-rate
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, htsat=_dc.replace(
+            cfg.htsat, frontend=_dc.replace(cfg.htsat.frontend,
+                                            stft_compute=jnp.bfloat16)))
     with jax.default_device(jax.devices("cpu")[0]):
         params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
         if os.environ.get("BENCH_FOLD", "1") == "1":
@@ -657,6 +670,14 @@ def main():
                 bench_e2e, "host_pipeline_clips_per_sec", None)
             result["e2e_ingest_mb_per_sec"] = getattr(
                 bench_e2e, "ingest_mb_per_sec", None)
+            cap = getattr(bench_e2e, "ingest_cap_clips_per_sec", None)
+            result["e2e_ingest_cap_clips_per_sec"] = cap
+            host_cap = result.get("e2e_host_pipeline_clips_per_sec")
+            if cap and host_cap:
+                # overlap efficiency vs the binding cap of THIS session's
+                # tunnel+host (1.0 = perfect decode/ingest/compute overlap)
+                result["e2e_vs_cap"] = round(
+                    result["e2e_clips_per_sec"] / min(cap, host_cap), 3)
             result["host_cores"] = os.cpu_count()
         except Exception as e:
             result["e2e_error"] = f"{type(e).__name__}: {e}"[:120]

@@ -38,9 +38,17 @@ class AVEInferenceEngine:
                  chunk: int = 8, compute_dtype=jnp.bfloat16, prefetch: int = 2,
                  num_workers: int = 8, int8_towers: bool = False,
                  int8_adapters: bool = False, act_scales=None,
-                 fold_eval: bool = True):
+                 fold_eval: bool = True, stft_bf16: bool = True):
         from .utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
+        if stft_bf16 and compute_dtype == jnp.bfloat16 \
+                and cfg.htsat.frontend.stft_compute is None:
+            # serving fast path: frame x DFT-basis GEMM on the bf16 MXU with
+            # f32 accumulation (<0.35 dB log-mel drift, tests/test_dsp.py)
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, htsat=_dc.replace(
+                cfg.htsat, frontend=_dc.replace(cfg.htsat.frontend,
+                                                stft_compute=jnp.bfloat16)))
         self.cfg = cfg
         self.B = batch_size
         self.chunk = chunk
