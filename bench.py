@@ -251,7 +251,10 @@ def bench_train(B, M):
             batch, rng = x
 
             def loss_fn(t, st):
-                p = ave_train.merge_params(t, fr)
+                # bf16 compute copies of the f32 Adam masters (mixed
+                # precision — see ave_train.cast_for_compute)
+                p = ave_train.merge_params(
+                    ave_train.cast_for_compute(t, cfg.compute_dtype), fr)
                 out, new_state = ave.forward(p, st, batch["wave"], batch["image"],
                                              cfg, train=True, rng=rng,
                                              mixup_lambda=batch["mixup_lambda"])

@@ -36,6 +36,20 @@ def merge_params(trainable, frozen):
     return out
 
 
+def cast_for_compute(tree, dtype):
+    """Mixed-precision view of the trainable tree: f32 Adam masters stay the
+    optimizer's state, but the fwd/bwd COMPUTE uses `dtype` copies.  Without
+    this, bf16 activations x f32 trainable kernels promote every adapter/
+    head GEMM (forward AND transposed backward) to f32 — far off the v5e
+    MXU rate.  Gradients flow through the cast (convert_element_type has a
+    convert transpose), so the optimizer still receives f32 grads; the loss
+    reductions are f32 regardless (losses.ave_loss upcasts at entry)."""
+    if dtype in (None, jnp.float32):
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree)
+
+
 def canonicalize(tree):
     """Strip weak types / host scalars so repeated step calls hit the same
     compiled executable (a weak-typed leaf in the first opt_state caused a
@@ -72,7 +86,8 @@ def make_train_step(cfg: AVEModelConfig, tx, *, donate=True):
     @functools.partial(jax.jit, donate_argnums=(0, 2, 3) if donate else ())
     def _step(trainable, frozen, state, opt_state, batch, rng):
         def loss_fn(tr, st):
-            params = merge_params(tr, frozen)
+            params = merge_params(cast_for_compute(tr, cfg.compute_dtype),
+                                  frozen)
             out, new_state = ave.forward(
                 params, st, batch["wave"], batch["image"], cfg, train=True,
                 rng=rng, mixup_lambda=batch.get("mixup_lambda"))

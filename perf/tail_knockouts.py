@@ -113,7 +113,8 @@ def main_train():
                 batch, rng = x
 
                 def loss_fn(t, st):
-                    p = ave_train.merge_params(t, fr)
+                    p = ave_train.merge_params(
+                        ave_train.cast_for_compute(t, cfg.compute_dtype), fr)
                     out, new_state = ave.forward(
                         p, st, batch["wave"], batch["image"], cfg, train=True,
                         rng=rng, mixup_lambda=batch["mixup_lambda"])
