@@ -50,7 +50,10 @@ BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8), BENCH_REMAT=none|full|dots
 BENCH_AVS=0/1 (1; AVS S4 forward — second task family on device),
 BENCH_AVS_BATCH (4), BENCH_AVS_ITERS (8), BENCH_FOLD=0/1 (1; eval-time
 adapter BN/gate folding), BENCH_GELU=exact|tanh (exact; tanh swaps every
-MLP's erf GELU for the tanh approximation — serving-only).
+MLP's erf GELU for the tanh approximation — serving-only),
+BENCH_E2E_FMT=u8|yuv420 (u8; yuv420 ships half the frame bytes — planar Y +
+2x2-subsampled CbCr — with chroma upsample + colorspace + normalize fused
+on-device), BENCH_STFT=bf16|f32.
 """
 from __future__ import annotations
 
@@ -323,12 +326,24 @@ def bench_e2e(cfg, params, state, B, M):
     from dg_sct_tpu.models import ave
     from dg_sct_tpu.ops.basic import normalize_frames_u8
 
-    @jax.jit
-    def fwd(params, state, wave_i16, images_u8):
-        images = normalize_frames_u8(images_u8)
-        wave = wave_i16.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 32767.0)
-        out, _ = ave.forward(params, state, wave, images, cfg, train=False)
-        return out["event_scores"]
+    fmt = os.environ.get("BENCH_E2E_FMT", "u8")  # u8 | yuv420
+
+    if fmt == "yuv420":
+        from dg_sct_tpu.ops.basic import normalize_frames_yuv420
+
+        @jax.jit
+        def fwd(params, state, wave_i16, y_u8, uv_u8):
+            images = normalize_frames_yuv420(y_u8, uv_u8)
+            wave = wave_i16.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 32767.0)
+            out, _ = ave.forward(params, state, wave, images, cfg, train=False)
+            return out["event_scores"]
+    else:
+        @jax.jit
+        def fwd(params, state, wave_i16, images_u8):
+            images = normalize_frames_u8(images_u8)
+            wave = wave_i16.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 32767.0)
+            out, _ = ave.forward(params, state, wave, images, cfg, train=False)
+            return out["event_scores"]
 
     tmp = tempfile.mkdtemp(prefix="dg_sct_bench_")
     sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -341,14 +356,27 @@ def bench_e2e(cfg, params, state, B, M):
                          wave_dtype=np.int16)
     ds = ave_data.AVEDataset(tmp, "train", frame_dir=tree["frames"],
                              audio_dir=tree["audio"],
-                             img_size=cfg.swin.img_size, raw_u8=True)
+                             img_size=cfg.swin.img_size,
+                             raw_u8=(fmt != "yuv420"),
+                             yuv420=(fmt == "yuv420"))
 
     # warm compile with one synthetic batch (conversions OUTSIDE any timing)
     b0 = ave_data.synthetic_batch(B)
     imgs_u8 = (b0["image"] * 255).astype(np.uint8)
     wave_i16 = (np.clip(b0["wave"], -1.0, 1.0) * 32767.0).astype(np.int16)
-    _ = np.asarray(fwd(params, state, jnp.asarray(wave_i16),
-                       jnp.asarray(imgs_u8)))
+    S = cfg.swin.img_size
+    if fmt == "yuv420":
+        y0 = imgs_u8[..., 0]
+        uv0 = np.full(imgs_u8.shape[:-3] + (S // 2, S // 2, 2), 128, np.uint8)
+        _ = np.asarray(fwd(params, state, jnp.asarray(wave_i16),
+                           jnp.asarray(y0), jnp.asarray(uv0)))
+        payload_arrays = (wave_i16, y0, uv0)
+        batch_keys = ("wave", "image_y", "image_uv")
+    else:
+        _ = np.asarray(fwd(params, state, jnp.asarray(wave_i16),
+                           jnp.asarray(imgs_u8)))
+        payload_arrays = (wave_i16, imgs_u8)
+        batch_keys = ("wave", "image")
 
     # e2e tuning knobs: on a 1-core host the decode workers, the staging
     # thread and jax dispatch all share the core — the best worker count is
@@ -367,12 +395,12 @@ def bench_e2e(cfg, params, state, B, M):
         nh / (time.perf_counter() - t0), 2)
 
     # ingest bandwidth: timed device_put + fence of the exact batch payload
-    mb = (wave_i16.nbytes + imgs_u8.nbytes) / 1e6
+    mb = sum(a.nbytes for a in payload_arrays) / 1e6
     ts = []
     for k in range(3):  # distinct payloads: the tunnel caches identical ops
         t0 = time.perf_counter()
-        jax.block_until_ready((jax.device_put(wave_i16 + np.int16(k)),
-                               jax.device_put(imgs_u8 + np.uint8(k))))
+        jax.block_until_ready(tuple(
+            jax.device_put(a + a.dtype.type(k)) for a in payload_arrays))
         ts.append(time.perf_counter() - t0)
     bench_e2e.ingest_mb_per_sec = round(mb / sorted(ts)[1], 2)
     # the clips/s this tunnel's ingest rate alone permits (payload mb covers
@@ -387,8 +415,8 @@ def bench_e2e(cfg, params, state, B, M):
     # single-digit..tens-of-MB/s ingest otherwise serializes with compute)
     for batch in ave_data.device_prefetch(
             ave_data.batched_iterator(ds, B, shuffle=False, num_workers=nw,
-                                      prefetch=pf), size=dp):
-        out = fwd(params, state, batch["wave"], batch["image"])
+                                      prefetch=pf), size=dp, keys=batch_keys):
+        out = fwd(params, state, *(batch[k] for k in batch_keys))
         if pending is not None:  # overlap fetch with the next step's decode
             assert np.isfinite(np.asarray(pending)).all()
         pending = out

@@ -72,7 +72,7 @@ def resize_bicubic(img: np.ndarray, size: int) -> np.ndarray:
 
 
 def load_frames(frame_dir: str, video_id: str, num_frames=NUM_SEGMENTS,
-                img_size=192, raw_u8=False) -> np.ndarray:
+                img_size=192, raw_u8=False, yuv420=False):
     """Sample `num_frames` jpgs with np.linspace (dataloader.py:162-171).
 
     Default: (T, H, W, 3) float32 ImageNet-normalized (bit-parity with the
@@ -80,7 +80,10 @@ def load_frames(frame_dir: str, video_id: str, num_frames=NUM_SEGMENTS,
     when available. With `raw_u8=True`, the fast serving path: DCT-scaled
     decode to (T, H, W, 3) uint8 — normalization happens on-device
     (`ops.basic.normalize_frames_u8`), minimizing single-core host cost and
-    host->device bytes."""
+    host->device bytes. With `yuv420=True`, the half-payload path: returns
+    (y (T, H, W) u8, uv (T, H/2, W/2, 2) u8) planes; chroma upsample +
+    YCbCr->RGB + normalize run on-device
+    (`ops.basic.normalize_frames_yuv420`)."""
     vdir = os.path.join(frame_dir, video_id)
     files = sorted(f for f in os.listdir(vdir) if f.endswith((".jpg", ".png")))
     idxs = np.linspace(0, len(files) - 1, num_frames).astype(int)
@@ -88,11 +91,23 @@ def load_frames(frame_dir: str, video_id: str, num_frames=NUM_SEGMENTS,
 
     from .. import native
     if native.available() and all(p.endswith(".jpg") for p in paths):
+        if yuv420:
+            return native.load_jpeg_batch_yuv420(paths, img_size)
         if raw_u8:
             return native.load_jpeg_batch_u8(paths, img_size)
         return native.load_jpeg_batch(paths, img_size, IMAGENET_MEAN, IMAGENET_STD)
 
     from PIL import Image
+    if yuv420:
+        ys, uvs = [], []
+        for p in paths:
+            ycc = np.asarray(Image.open(p).convert("YCbCr"))
+            ycc = resize_bicubic(ycc, img_size)  # per-channel, mode-agnostic
+            ys.append(ycc[..., 0].astype(np.uint8))
+            uv = ycc[..., 1:].astype(np.float32)
+            uv = uv.reshape(img_size // 2, 2, img_size // 2, 2, 2).mean((1, 3))
+            uvs.append(np.round(uv).astype(np.uint8))
+        return np.stack(ys), np.stack(uvs)
     frames = []
     for p in paths:
         img = np.asarray(Image.open(p).convert("RGB"))
@@ -125,7 +140,7 @@ class AVEDataset:
     def __init__(self, root: str, split: str = "train", img_size: int = 192,
                  frame_dir: Optional[str] = None, audio_dir: Optional[str] = None,
                  num_frames: int = NUM_SEGMENTS, segment_samples: int = SAMPLE_RATE,
-                 raw_u8: bool = False):
+                 raw_u8: bool = False, yuv420: bool = False):
         meta = os.path.join(root, "data", "AVE") if os.path.isdir(
             os.path.join(root, "data", "AVE")) else root
         self.categories = load_categories(os.path.join(meta, "categories.txt"))
@@ -140,6 +155,7 @@ class AVEDataset:
         self.num_frames = num_frames
         self.segment_samples = segment_samples
         self.raw_u8 = raw_u8
+        self.yuv420 = yuv420
 
     def __len__(self):
         return len(self.ids)
@@ -149,13 +165,20 @@ class AVEDataset:
         gt = self.labels[vid]
         if gt.shape[0] != self.num_frames:
             gt = gt[np.linspace(0, gt.shape[0] - 1, self.num_frames).astype(int)]
-        return {
-            "image": load_frames(self.frame_dir, vid, self.num_frames,
-                                 img_size=self.img_size, raw_u8=self.raw_u8),
+        out = {
             "wave": load_wave(self.audio_dir, vid, self.num_frames,
                               self.segment_samples),
             "GT": gt,
         }
+        if self.yuv420:
+            y, uv = load_frames(self.frame_dir, vid, self.num_frames,
+                                img_size=self.img_size, yuv420=True)
+            out["image_y"], out["image_uv"] = y, uv
+        else:
+            out["image"] = load_frames(self.frame_dir, vid, self.num_frames,
+                                       img_size=self.img_size,
+                                       raw_u8=self.raw_u8)
+        return out
 
 
 def synthetic_batch(batch_size: int, *, img_size=192, num_segments=NUM_SEGMENTS,

@@ -135,7 +135,8 @@ void resize_bicubic(const uint8_t* src, int h, int w, float* dst, int out) {
 // conversion run at a fraction of full-resolution cost (the dominant host
 // cost per frame). target <= 0 decodes at full size (bit-parity path).
 bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
-                 int* h, int* w, int target = 0) {
+                 int* h, int* w, int target = 0,
+                 J_COLOR_SPACE color_space = JCS_RGB) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -147,7 +148,7 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  cinfo.out_color_space = color_space;
   if (target > 0) {
     const int short_side = std::min<int>(cinfo.image_height, cinfo.image_width);
     int m = 8;
@@ -220,6 +221,66 @@ int dgsct_decode_jpeg_u8(const uint8_t* data, long len, uint8_t* dst, int out) {
     return -1;
   resize_bicubic_u8(rgb.data(), h, w, dst, out);
   return 0;
+}
+
+// YUV420 serving ingest: decode at DCT-scaled size in JCS_YCbCr (libjpeg
+// skips its color-conversion pass), antialias-resize the interleaved YCbCr
+// to (out, out, 3), then emit a full-res Y plane and a 2x2-mean subsampled
+// interleaved CbCr plane (out/2, out/2, 2).  Halves the host->device bytes
+// vs interleaved RGB (the measured tunnel-ingest cap in bench_e2e); the
+// device reconstructs RGB with a baked-matmul chroma upsample + one fused
+// affine (ops/basic.normalize_frames_yuv420). `out` must be even.
+int dgsct_decode_jpeg_yuv420(const uint8_t* data, long len, uint8_t* y_dst,
+                             uint8_t* uv_dst, int out) {
+  std::vector<uint8_t> ycc;
+  int h = 0, w = 0;
+  if (!decode_jpeg(data, static_cast<size_t>(len), &ycc, &h, &w, out,
+                   JCS_YCbCr))
+    return -1;
+  std::vector<uint8_t> r(static_cast<size_t>(out) * out * 3);
+  resize_bicubic_u8(ycc.data(), h, w, r.data(), out);
+  for (int i = 0; i < out * out; ++i) y_dst[i] = r[static_cast<size_t>(i) * 3];
+  const int half = out / 2;
+  for (int yy = 0; yy < half; ++yy)
+    for (int xx = 0; xx < half; ++xx) {
+      const size_t i00 = (static_cast<size_t>(2 * yy) * out + 2 * xx) * 3;
+      const size_t i01 = i00 + 3;
+      const size_t i10 = i00 + static_cast<size_t>(out) * 3;
+      const size_t i11 = i10 + 3;
+      for (int c = 1; c <= 2; ++c) {
+        const int s = r[i00 + c] + r[i01 + c] + r[i10 + c] + r[i11 + c];
+        uv_dst[(static_cast<size_t>(yy) * half + xx) * 2 + (c - 1)] =
+            static_cast<uint8_t>((s + 2) >> 2);
+      }
+    }
+  return 0;
+}
+
+// Batched YUV420 loader: y (n, out, out) + uv (n, out/2, out/2, 2) uint8.
+int dgsct_load_jpeg_batch_yuv420(const char** paths, int n, uint8_t* y_dst,
+                                 uint8_t* uv_dst, int out) {
+  int status = 0;
+  const size_t ystride = static_cast<size_t>(out) * out;
+  const size_t uvstride = static_cast<size_t>(out / 2) * (out / 2) * 2;
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    FILE* f = fopen(paths[i], "rb");
+    if (!f) {
+      status = -1;
+      continue;
+    }
+    fseek(f, 0, SEEK_END);
+    long len = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(static_cast<size_t>(len));
+    const size_t got = fread(buf.data(), 1, static_cast<size_t>(len), f);
+    fclose(f);
+    if (got != static_cast<size_t>(len) ||
+        dgsct_decode_jpeg_yuv420(buf.data(), len, y_dst + i * ystride,
+                                 uv_dst + i * uvstride, out) != 0)
+      status = -1;
+  }
+  return status;
 }
 
 // Batched uint8 loader: (n, out, out, 3) uint8, parallel over files.

@@ -284,3 +284,31 @@ def normalize_frames_u8(frames, dtype=jnp.bfloat16,
     m = jnp.asarray(mean, jnp.float32) * 255.0
     s = jnp.asarray(std, jnp.float32) * 255.0
     return ((frames.astype(jnp.float32) - m) / s).astype(dtype)
+
+
+def normalize_frames_yuv420(y_u8, uv_u8, dtype=jnp.bfloat16,
+                            mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """Half-payload ingest prologue: y (..., S, S) + uv (..., S/2, S/2, 2)
+    uint8 planes (native.load_jpeg_batch_yuv420) -> normalized (..., S, S, 3).
+
+    The chroma upsample is a baked bicubic matmul pair (ops.dsp.resize_2d)
+    and the JFIF full-range YCbCr->RGB conversion composes with /255 and the
+    ImageNet affine into ONE (3, 3) matmul + offset, fused by XLA into the
+    tower's first conv.  Ships 1.5 bytes/px instead of 3 — the tunnel-ingest
+    clips/s cap (bench_e2e) doubles for the frame payload."""
+    from . import dsp
+    *lead, S, _ = y_u8.shape
+    yf = y_u8.astype(jnp.float32)
+    uvf = uv_u8.astype(jnp.float32).reshape((-1,) + uv_u8.shape[-3:])
+    uvf = dsp.resize_2d(uvf, S, S, kernel="cubic", align_corners=False)
+    uvf = uvf.reshape(tuple(lead) + (S, S, 2))
+    ycc = jnp.concatenate([yf[..., None], uvf - 128.0], axis=-1)
+    # JFIF full-range: R = Y + 1.402 Cr'; G = Y - .344136 Cb' - .714136 Cr';
+    # B = Y + 1.772 Cb'   (columns: R, G, B; rows: Y, Cb', Cr')
+    conv = jnp.asarray([[1.0, 1.0, 1.0],
+                        [0.0, -0.344136, 1.772],
+                        [1.402, -0.714136, 0.0]], jnp.float32)
+    m = jnp.asarray(mean, jnp.float32) * 255.0
+    s = jnp.asarray(std, jnp.float32) * 255.0
+    rgb = ycc @ conv
+    return ((rgb - m) / s).astype(dtype)

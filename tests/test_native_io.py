@@ -88,3 +88,30 @@ def test_normalize_frames_u8_matches_host():
     dev = np.asarray(normalize_frames_u8(jnp.asarray(u8), dtype=jnp.float32))
     host = (u8.astype(np.float32) / 255.0 - MEAN) / STD
     np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_jpeg_batch_yuv420_roundtrip(tmp_path):
+    """Half-payload YUV420 ingest: planar decode + device-side reconstruction
+    (`normalize_frames_yuv420`) must match the u8 RGB path on smooth content
+    (the chroma loss is the 4:2:0 subsampling already present in source
+    JPEGs); grayscale must be bit-exact (Cb=Cr=128 exactly)."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from dg_sct_tpu.ops.basic import normalize_frames_u8, normalize_frames_yuv420
+    xx, yy = np.meshgrid(np.linspace(0, 1, 320), np.linspace(0, 1, 320))
+    smooth = np.stack([xx, yy, 0.5 + 0.3 * np.sin(4 * xx)], -1)
+    gray = np.repeat(xx[..., None], 3, -1)
+    paths = []
+    for i, img in enumerate([smooth, gray]):
+        p = str(tmp_path / f"y{i}.jpg")
+        Image.fromarray((img * 255).astype(np.uint8)).save(p, quality=95)
+        paths.append(p)
+    y, uv = native.load_jpeg_batch_yuv420(paths, 192)
+    assert y.shape == (2, 192, 192) and uv.shape == (2, 96, 96, 2)
+    assert y.dtype == uv.dtype == np.uint8
+    ref = np.asarray(normalize_frames_u8(
+        native.load_jpeg_batch_u8(paths, 192), dtype=jnp.float32))
+    rec = np.asarray(normalize_frames_yuv420(y, uv, dtype=jnp.float32))
+    err = np.abs(ref - rec)
+    assert err[0].mean() < 0.02, err[0].mean()    # smooth color
+    assert err[1].max() < 1e-5, err[1].max()      # grayscale bit-exact
