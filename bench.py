@@ -519,9 +519,11 @@ def main():
     if os.environ.get("BENCH_SCAN", "0") == "1":  # measured slower; see interleave.py
         from dg_sct_tpu.models import interleave as I
         I.set_scan(True)
-    if os.environ.get("BENCH_GELU", "exact") == "tanh":
-        # serving-only: tanh-approx GELU in every MLP (<=3e-3 abs vs the
-        # parity-exact erf form — below bf16 activation rounding noise)
+    if os.environ.get("BENCH_GELU", "tanh") == "tanh":
+        # serving default: tanh-approx GELU in every MLP (<=3e-3 abs vs the
+        # parity-exact erf form — below bf16 activation rounding noise).
+        # Measured (perf/results_r5/probe_tanh.log vs bench_full.log): the
+        # erf lowering cost the int8 headline 65.9 -> 80.63 clips/s.
         from dg_sct_tpu.ops import basic as _basic
         _basic.set_gelu_mode("tanh")
 

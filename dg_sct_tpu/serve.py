@@ -38,9 +38,17 @@ class AVEInferenceEngine:
                  chunk: int = 8, compute_dtype=jnp.bfloat16, prefetch: int = 2,
                  num_workers: int = 8, int8_towers: bool = False,
                  int8_adapters: bool = False, act_scales=None,
-                 fold_eval: bool = True, stft_bf16: bool = True):
+                 fold_eval: bool = True, stft_bf16: bool = True,
+                 gelu: str = "tanh"):
         from .utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
+        if compute_dtype == jnp.bfloat16:
+            # tanh-approx GELU for bf16 serving: <=3e-3 abs vs the parity
+            # erf form, and the erf lowering measured -18% clips/s
+            # (perf/results_r5/probe_tanh.log). Pass gelu="exact" to keep
+            # the torch-parity form.
+            from .ops.basic import set_gelu_mode
+            set_gelu_mode(gelu)
         if stft_bf16 and compute_dtype == jnp.bfloat16 \
                 and cfg.htsat.frontend.stft_compute is None:
             # serving fast path: frame x DFT-basis GEMM on the bf16 MXU with
