@@ -53,7 +53,8 @@ adapter BN/gate folding), BENCH_GELU=exact|tanh (exact; tanh swaps every
 MLP's erf GELU for the tanh approximation — serving-only),
 BENCH_E2E_FMT=u8|yuv420 (u8; yuv420 ships half the frame bytes — planar Y +
 2x2-subsampled CbCr — with chroma upsample + colorspace + normalize fused
-on-device), BENCH_STFT=bf16|f32.
+on-device), BENCH_E2E_WAVE=i16|mulaw (i16; mulaw halves the audio bytes at
+~38 dB SNR, device-side inverse companding), BENCH_STFT=bf16|f32.
 """
 from __future__ import annotations
 
@@ -326,23 +327,30 @@ def bench_e2e(cfg, params, state, B, M):
     from dg_sct_tpu.models import ave
     from dg_sct_tpu.ops.basic import normalize_frames_u8
 
-    fmt = os.environ.get("BENCH_E2E_FMT", "u8")  # u8 | yuv420
+    fmt = os.environ.get("BENCH_E2E_FMT", "u8")        # u8 | yuv420
+    wfmt = os.environ.get("BENCH_E2E_WAVE", "i16")     # i16 | mulaw
+
+    def dequant_wave(w):
+        if wfmt == "mulaw":
+            from dg_sct_tpu.ops.basic import dequantize_mulaw_u8
+            return dequantize_mulaw_u8(w, dtype=jnp.bfloat16)
+        return w.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 32767.0)
 
     if fmt == "yuv420":
         from dg_sct_tpu.ops.basic import normalize_frames_yuv420
 
         @jax.jit
-        def fwd(params, state, wave_i16, y_u8, uv_u8):
+        def fwd(params, state, wave_q, y_u8, uv_u8):
             images = normalize_frames_yuv420(y_u8, uv_u8)
-            wave = wave_i16.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 32767.0)
-            out, _ = ave.forward(params, state, wave, images, cfg, train=False)
+            out, _ = ave.forward(params, state, dequant_wave(wave_q), images,
+                                 cfg, train=False)
             return out["event_scores"]
     else:
         @jax.jit
-        def fwd(params, state, wave_i16, images_u8):
+        def fwd(params, state, wave_q, images_u8):
             images = normalize_frames_u8(images_u8)
-            wave = wave_i16.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 32767.0)
-            out, _ = ave.forward(params, state, wave, images, cfg, train=False)
+            out, _ = ave.forward(params, state, dequant_wave(wave_q), images,
+                                 cfg, train=False)
             return out["event_scores"]
 
     tmp = tempfile.mkdtemp(prefix="dg_sct_bench_")
@@ -358,24 +366,30 @@ def bench_e2e(cfg, params, state, B, M):
                              audio_dir=tree["audio"],
                              img_size=cfg.swin.img_size,
                              raw_u8=(fmt != "yuv420"),
-                             yuv420=(fmt == "yuv420"))
+                             yuv420=(fmt == "yuv420"),
+                             wave_mulaw=(wfmt == "mulaw"))
 
     # warm compile with one synthetic batch (conversions OUTSIDE any timing)
     b0 = ave_data.synthetic_batch(B)
     imgs_u8 = (b0["image"] * 255).astype(np.uint8)
     wave_i16 = (np.clip(b0["wave"], -1.0, 1.0) * 32767.0).astype(np.int16)
+    if wfmt == "mulaw":
+        from dg_sct_tpu.ops.basic import encode_mulaw_u8
+        wave_q = encode_mulaw_u8(wave_i16)
+    else:
+        wave_q = wave_i16
     S = cfg.swin.img_size
     if fmt == "yuv420":
         y0 = imgs_u8[..., 0]
         uv0 = np.full(imgs_u8.shape[:-3] + (S // 2, S // 2, 2), 128, np.uint8)
-        _ = np.asarray(fwd(params, state, jnp.asarray(wave_i16),
+        _ = np.asarray(fwd(params, state, jnp.asarray(wave_q),
                            jnp.asarray(y0), jnp.asarray(uv0)))
-        payload_arrays = (wave_i16, y0, uv0)
+        payload_arrays = (wave_q, y0, uv0)
         batch_keys = ("wave", "image_y", "image_uv")
     else:
-        _ = np.asarray(fwd(params, state, jnp.asarray(wave_i16),
+        _ = np.asarray(fwd(params, state, jnp.asarray(wave_q),
                            jnp.asarray(imgs_u8)))
-        payload_arrays = (wave_i16, imgs_u8)
+        payload_arrays = (wave_q, imgs_u8)
         batch_keys = ("wave", "image")
 
     # e2e tuning knobs: on a 1-core host the decode workers, the staging

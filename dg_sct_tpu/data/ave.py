@@ -140,7 +140,8 @@ class AVEDataset:
     def __init__(self, root: str, split: str = "train", img_size: int = 192,
                  frame_dir: Optional[str] = None, audio_dir: Optional[str] = None,
                  num_frames: int = NUM_SEGMENTS, segment_samples: int = SAMPLE_RATE,
-                 raw_u8: bool = False, yuv420: bool = False):
+                 raw_u8: bool = False, yuv420: bool = False,
+                 wave_mulaw: bool = False):
         meta = os.path.join(root, "data", "AVE") if os.path.isdir(
             os.path.join(root, "data", "AVE")) else root
         self.categories = load_categories(os.path.join(meta, "categories.txt"))
@@ -156,6 +157,7 @@ class AVEDataset:
         self.segment_samples = segment_samples
         self.raw_u8 = raw_u8
         self.yuv420 = yuv420
+        self.wave_mulaw = wave_mulaw
 
     def __len__(self):
         return len(self.ids)
@@ -165,11 +167,14 @@ class AVEDataset:
         gt = self.labels[vid]
         if gt.shape[0] != self.num_frames:
             gt = gt[np.linspace(0, gt.shape[0] - 1, self.num_frames).astype(int)]
-        out = {
-            "wave": load_wave(self.audio_dir, vid, self.num_frames,
-                              self.segment_samples),
-            "GT": gt,
-        }
+        wave = load_wave(self.audio_dir, vid, self.num_frames,
+                         self.segment_samples)
+        if self.wave_mulaw:
+            # half-payload audio wire format; device inverse fuses into the
+            # STFT prologue (ops.basic.dequantize_mulaw_u8)
+            from ..ops.basic import encode_mulaw_u8
+            wave = encode_mulaw_u8(wave)
+        out = {"wave": wave, "GT": gt}
         if self.yuv420:
             y, uv = load_frames(self.frame_dir, vid, self.num_frames,
                                 img_size=self.img_size, yuv420=True)

@@ -312,3 +312,27 @@ def normalize_frames_yuv420(y_u8, uv_u8, dtype=jnp.bfloat16,
     s = jnp.asarray(std, jnp.float32) * 255.0
     rgb = ycc @ conv
     return ((rgb - m) / s).astype(dtype)
+
+
+MULAW_MU = 255.0
+
+
+def encode_mulaw_u8(wave: "np.ndarray") -> "np.ndarray":
+    """Host-side continuous mu-law companding of float waveform in [-1, 1]
+    (or i16 PCM) to uint8 — halves the audio wire bytes vs i16 at ~38 dB
+    SNR, below the log-mel frontend's bf16-STFT drift floor
+    (tests/test_native_io.py::test_mulaw_roundtrip)."""
+    x = wave.astype(np.float32)
+    if wave.dtype == np.int16:
+        x = x / 32767.0
+    x = np.clip(x, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(MULAW_MU * np.abs(x)) / np.log1p(MULAW_MU)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+def dequantize_mulaw_u8(wave_u8, dtype=jnp.float32):
+    """Device-side inverse of `encode_mulaw_u8`: uint8 -> waveform in [-1,1].
+    Fuses into the STFT framing prologue like the i16 dequantize."""
+    y = wave_u8.astype(jnp.float32) / 127.5 - 1.0
+    x = jnp.sign(y) * (jnp.power(1.0 + MULAW_MU, jnp.abs(y)) - 1.0) / MULAW_MU
+    return x.astype(dtype)

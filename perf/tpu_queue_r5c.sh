@@ -31,10 +31,11 @@ run() {  # run <name> <timeout_s> <cmd...>
 run probe_stft 3600 env BENCH_STFT=bf16 BENCH_FWD=0 BENCH_TRAIN=0 \
     BENCH_E2E=0 BENCH_AVS=0 python bench.py
 
-# 2. e2e with the half-payload YUV420 ingest (expected: ingest cap ~doubles
-#    for the frame payload; e2e moves toward the decode cap)
-run e2e_yuv 2700 env BENCH_E2E_FMT=yuv420 BENCH_FWD=0 BENCH_INT8=0 \
-    BENCH_TRAIN=0 BENCH_AVS=0 python bench.py
+# 2. e2e with the half-payload ingest formats (YUV420 frames + mu-law audio:
+#    7.0 -> 3.5 MB per B=4 batch; expected to move e2e from ingest-bound
+#    toward the decode cap)
+run e2e_half 2700 env BENCH_E2E_FMT=yuv420 BENCH_E2E_WAVE=mulaw BENCH_FWD=0 \
+    BENCH_INT8=0 BENCH_TRAIN=0 BENCH_AVS=0 python bench.py
 
 echo "queue r5c complete — flip bench defaults for measured wins, then run"
 echo "one full 'python bench.py' to warm the official end-of-round cache."

@@ -11,7 +11,9 @@ def test_enable_persistent_cache_sets_config(tmp_path, monkeypatch):
     monkeypatch.setenv("DG_SCT_CACHE_FORCE", "1")  # tests run on CPU
     monkeypatch.setattr(compile_cache, "_enabled", False)
     d = compile_cache.enable_persistent_cache()
-    assert d == str(tmp_path / "xla")
+    # host-fingerprinted subdir (XLA:CPU AOT entries are machine-feature
+    # pinned; see utils/compile_cache.cache_dir)
+    assert d.startswith(str(tmp_path / "xla") + os.sep + "host-")
     assert os.path.isdir(d)
     assert jax.config.jax_compilation_cache_dir == d
     # idempotent: second call is a no-op returning the same dir
@@ -33,4 +35,5 @@ def test_enable_persistent_cache_noop_on_cpu(tmp_path, monkeypatch):
 def test_cache_dir_fallback(monkeypatch):
     monkeypatch.delenv("DG_SCT_CACHE_DIR", raising=False)
     monkeypatch.setenv("XDG_CACHE_HOME", "/nonexistent-base")
-    assert compile_cache.cache_dir() == "/nonexistent-base/dg_sct_tpu/xla"
+    d = compile_cache.cache_dir()
+    assert d.startswith("/nonexistent-base/dg_sct_tpu/xla" + os.sep + "host-")

@@ -115,3 +115,29 @@ def test_jpeg_batch_yuv420_roundtrip(tmp_path):
     err = np.abs(ref - rec)
     assert err[0].mean() < 0.02, err[0].mean()    # smooth color
     assert err[1].max() < 1e-5, err[1].max()      # grayscale bit-exact
+
+
+def test_mulaw_roundtrip():
+    """mu-law u8 audio wire format: device inverse must reconstruct the
+    waveform at ~38 dB SNR, and the downstream log-mel drift must stay
+    within the serving tolerance used for the bf16 STFT path."""
+    import jax.numpy as jnp
+    from dg_sct_tpu.ops.basic import encode_mulaw_u8, dequantize_mulaw_u8
+    rs = np.random.RandomState(7)
+    wave = (rs.randn(2, 32000) * 0.1).astype(np.float32)
+    dec = np.asarray(dequantize_mulaw_u8(encode_mulaw_u8(wave)))
+    snr = 10 * np.log10(np.mean(wave ** 2) / np.mean((wave - dec) ** 2))
+    assert snr > 32.0, snr
+    # i16 sources take the same path (differences bounded by ONE mu-law bin
+    # — i16 rounding can flip the companded u8 bin)
+    w16 = (np.clip(wave, -1, 1) * 32767).astype(np.int16)
+    dec16 = np.asarray(dequantize_mulaw_u8(encode_mulaw_u8(w16)))
+    assert np.abs(dec16 - dec).max() < 0.02
+
+    from dg_sct_tpu.configs import AudioFrontendConfig
+    from dg_sct_tpu.ops import dsp
+    cfg = AudioFrontendConfig()
+    exact = dsp.logmel(dsp.power_spectrogram(jnp.asarray(wave), cfg), cfg)
+    quant = dsp.logmel(dsp.power_spectrogram(jnp.asarray(dec), cfg), cfg)
+    db_err = np.percentile(np.abs(np.asarray(exact) - np.asarray(quant)), 99)
+    assert db_err < 1.0, f"mu-law log-mel p99 drift {db_err:.3f} dB"
