@@ -57,13 +57,17 @@ def main_train():
     import jax.numpy as jnp
     import optax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from dg_sct_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(min_compile_secs=1.0)  # host-fingerprinted dir
 
     from dg_sct_tpu.configs import AVEModelConfig, TrainConfig
     from dg_sct_tpu.models import ave, interleave
     from dg_sct_tpu.ops import ablate
     from dg_sct_tpu.train import ave_train, losses
+
+    if os.environ.get("BENCH_GELU", "tanh") == "tanh":
+        from dg_sct_tpu.ops import basic as _basic
+        _basic.set_gelu_mode("tanh")   # match the bench train program
 
     interleave.set_remat_policy("none")
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
@@ -157,16 +161,23 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dg_sct_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from dg_sct_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(min_compile_secs=1.0)  # host-fingerprinted dir
 
     from dg_sct_tpu.configs import AVEModelConfig
     from dg_sct_tpu.models import ave
     from dg_sct_tpu.ops import ablate
 
+    if os.environ.get("BENCH_GELU", "tanh") == "tanh":
+        from dg_sct_tpu.ops import basic as _basic
+        _basic.set_gelu_mode("tanh")   # match the serving headline
+
     cfg = AVEModelConfig(compute_dtype=jnp.bfloat16)
     with jax.default_device(jax.devices("cpu")[0]):
         params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+        if os.environ.get("BENCH_FOLD", "1") == "1":
+            from dg_sct_tpu.models.interleave import fold_adapters_eval
+            params, state = fold_adapters_eval(params, state, cfg)
         cast = lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
         params, state = cast(params), cast(state)
