@@ -49,8 +49,9 @@ BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8), BENCH_REMAT=none|full|dots
 (none), BENCH_KEEP_STDERR=0/1 (0), BENCH_FWD=0/1 (1; the bf16 forward),
 BENCH_AVS=0/1 (1; AVS S4 forward — second task family on device),
 BENCH_AVS_BATCH (4), BENCH_AVS_ITERS (8), BENCH_FOLD=0/1 (1; eval-time
-adapter BN/gate folding), BENCH_GELU=exact|tanh (exact; tanh swaps every
-MLP's erf GELU for the tanh approximation — serving-only),
+adapter BN/gate folding), BENCH_GELU=exact|tanh (tanh — the serving default;
+the exact-erf lowering measured -18% clips/s, perf/results_r5/probe_tanh.log;
+f32 parity/golden paths keep erf),
 BENCH_E2E_FMT=u8|yuv420 (u8; yuv420 ships half the frame bytes — planar Y +
 2x2-subsampled CbCr — with chroma upsample + colorspace + normalize fused
 on-device), BENCH_E2E_WAVE=i16|mulaw (i16; mulaw halves the audio bytes at
