@@ -86,48 +86,81 @@ class AVEInferenceEngine:
             self.params = quantize_eval_params(self.params, towers=towers,
                                                act_scales=act_scales)
 
+        def dequant_wave(w):
+            # wire-format dispatch (static at trace time): i16 PCM and
+            # mu-law u8 dequantize on-device; float passes through
+            if w.dtype == jnp.int16:
+                return w.astype(compute_dtype) * jnp.asarray(
+                    1.0 / 32767.0, compute_dtype)
+            if w.dtype == jnp.uint8:
+                from .ops.basic import dequantize_mulaw_u8
+                return dequantize_mulaw_u8(w, dtype=compute_dtype)
+            return w.astype(compute_dtype)
+
         def stream_fn(params, state, waves, imgs):
             def body(carry, wi):
                 w, im = wi
                 if im.dtype == jnp.uint8:  # serving ingest: uint8 frames,
                     im = normalize_frames_u8(im, compute_dtype)  # on-device norm
-                out, _ = ave.forward(params, state, w, im, cfg, train=False)
+                out, _ = ave.forward(params, state, dequant_wave(w), im, cfg,
+                                     train=False)
                 return carry, {k: out[k].astype(jnp.float32)
                                for k in ("event_scores", "is_event_scores")}
 
             _, outs = jax.lax.scan(body, 0, (waves, imgs))
             return outs
 
-        self._fn = jax.jit(stream_fn)
+        def stream_fn_yuv(params, state, waves, ys, uvs):
+            from .ops.basic import normalize_frames_yuv420
 
-    def _chunk_batches(self, dataset) -> Iterator[Tuple[np.ndarray, np.ndarray, list]]:
+            def body(carry, wyu):
+                w, y, uv = wyu
+                im = normalize_frames_yuv420(y, uv, dtype=compute_dtype)
+                out, _ = ave.forward(params, state, dequant_wave(w), im, cfg,
+                                     train=False)
+                return carry, {k: out[k].astype(jnp.float32)
+                               for k in ("event_scores", "is_event_scores")}
+
+            _, outs = jax.lax.scan(body, 0, (waves, ys, uvs))
+            return outs
+
+        self._fn = jax.jit(stream_fn)
+        self._fn_yuv = jax.jit(stream_fn_yuv)
+
+    def _chunk_batches(self, dataset) -> Iterator[Tuple[tuple, list]]:
         """Group the dataset into (chunk, B, ...) stacked input blocks; the
         final ragged block is padded up to full shape (pad rows dropped from
-        the yielded ids)."""
+        the yielded ids). Yields ((wave, image) or (wave, image_y, image_uv),
+        ids) depending on the dataset's frame format."""
         from .data.ave import batched_iterator
 
-        waves, imgs, ids = [], [], []
+        acc: dict = {}
+        ids = []
+        img_keys = None
         for bi, batch in enumerate(batched_iterator(
                 dataset, self.B, shuffle=False, drop_last=False,
                 num_workers=self.num_workers, prefetch=self.prefetch * self.chunk)):
+            if img_keys is None:  # dataset format: RGB or planar YUV420
+                img_keys = ("image_y", "image_uv") if "image_y" in batch \
+                    else ("image",)
             n = batch["wave"].shape[0]
             if n < self.B:  # pad the final partial batch
                 reps = self.B - n
                 batch = {k: (np.concatenate([v] + [v[-1:]] * reps)
                              if isinstance(v, np.ndarray) else v)
                          for k, v in batch.items()}
-            waves.append(batch["wave"])
-            imgs.append(batch["image"])
+            for k in ("wave",) + img_keys:
+                acc.setdefault(k, []).append(batch[k])
             ids.append([(bi * self.B + j) for j in range(n)])
-            if len(waves) == self.chunk:
-                yield np.stack(waves), np.stack(imgs), ids
-                waves, imgs, ids = [], [], []
-        if waves:
-            while len(waves) < self.chunk:  # pad the final partial chunk
-                waves.append(waves[-1])
-                imgs.append(imgs[-1])
+            if len(acc["wave"]) == self.chunk:
+                yield tuple(np.stack(acc[k]) for k in ("wave",) + img_keys), ids
+                acc, ids = {}, []
+        if acc:
+            while len(acc["wave"]) < self.chunk:  # pad the final partial chunk
+                for k in acc:
+                    acc[k].append(acc[k][-1])
                 ids.append([])
-            yield np.stack(waves), np.stack(imgs), ids
+            yield tuple(np.stack(acc[k]) for k in ("wave",) + img_keys), ids
 
     def stream(self, dataset) -> Iterator[Tuple[dict, list]]:
         """Yield ({event_scores (chunk, B*T, n_cls+1), is_event_scores ...},
@@ -138,15 +171,22 @@ class AVEInferenceEngine:
         pending: Optional[tuple] = None
         # device_prefetch stages chunk k+1's host->device copy while chunk k
         # executes (through the tunnel the copy otherwise serializes with
-        # compute; see bench.py bench_e2e's ingest measurement)
-        chunks = ({"wave": w, "image": im, "ids": ids}
-                  for w, im, ids in self._chunk_batches(dataset))
-        for ch in device_prefetch(chunks, size=2):
-            imgs_dev = ch["image"]
-            if imgs_dev.dtype != jnp.uint8:  # uint8 stays raw: device norm
-                imgs_dev = imgs_dev.astype(self.dtype)
-            fut = self._fn(self.params, self.state,
-                           ch["wave"].astype(self.dtype), imgs_dev)
+        # compute; see bench.py bench_e2e's ingest measurement). Wire-format
+        # conversions (i16/mu-law wave, u8/YUV420 frames) all run ON DEVICE
+        # inside the jitted stream (static dtype dispatch).
+        chunks = ({"arrs": arrs, "ids": ids}
+                  for arrs, ids in self._chunk_batches(dataset))
+        for ch in device_prefetch(chunks, size=2, keys=("arrs",)):
+            arrs = ch["arrs"]
+            if arrs[0].dtype not in (jnp.int16, jnp.uint8):
+                arrs = (arrs[0].astype(self.dtype),) + tuple(arrs[1:])
+            if len(arrs) == 3:  # (wave, image_y, image_uv)
+                fut = self._fn_yuv(self.params, self.state, *arrs)
+            else:
+                im = arrs[1]
+                if im.dtype != jnp.uint8:
+                    im = im.astype(self.dtype)
+                fut = self._fn(self.params, self.state, arrs[0], im)
             ids = ch["ids"]
             if pending is not None:
                 yield self._finish(pending)

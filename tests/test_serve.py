@@ -43,6 +43,55 @@ def test_ave_inference_engine(tmp_path):
     np.testing.assert_allclose(ev2, ev, atol=1e-5)
 
 
+def test_ave_inference_engine_wire_formats(tmp_path):
+    """The half-payload serving wire formats stream through the same engine
+    with on-device conversion (serve.py stream dtype dispatch):
+
+      * i16 PCM wave + raw u8 frames  -> near-exact vs the f32/RGB engine
+        (same decoded pixels, same normalize math, wave quantized to 1/32767);
+      * mu-law u8 wave + planar YUV420 frames -> lossy formats, scores must
+        stay strongly correlated with the reference engine's.
+    """
+    import jax
+
+    from dg_sct_tpu.data import ave as ave_data
+    from dg_sct_tpu.models import ave
+    from dg_sct_tpu.serve import AVEInferenceEngine
+
+    cfg = tiny_cfg()
+    root = str(tmp_path)
+    cats = ["a", "b", "c"]
+    # i16 PCM containers: load_wave passes int16 through for on-device dequant
+    tree = media_tree.make_ave_tree(root, [f"wv{i}" for i in range(5)], cats,
+                                    n_frames=3, img_size=cfg.swin.img_size,
+                                    wave_samples=2 * 3200,
+                                    wave_dtype=np.int16)
+    mk = lambda **kw: ave_data.AVEDataset(
+        root, "test", frame_dir=tree["frames"], audio_dir=tree["audio"],
+        img_size=cfg.swin.img_size, num_frames=cfg.num_frames,
+        segment_samples=3200, **kw)
+
+    params, state = ave.init_ave_model(jax.random.PRNGKey(0), cfg)
+    eng = AVEInferenceEngine(cfg, params, state, batch_size=2, chunk=2,
+                             compute_dtype=np.float32)
+
+    # reference: float frames (host-normalized), i16 wave dequanted on device
+    ev_ref, ie_ref, _ = eng.predict_clips(mk())
+
+    # u8 frames: identical decoded pixels, normalize runs on device
+    ev_u8, _, _ = eng.predict_clips(mk(raw_u8=True))
+    denom = max(np.abs(ev_ref).max(), 1e-3)
+    assert np.abs(ev_u8 - ev_ref).max() / denom < 0.05
+
+    # half-payload: mu-law audio + planar YUV420 frames (both lossy)
+    ev_h, ie_h, pred_h = eng.predict_clips(mk(yuv420=True, wave_mulaw=True))
+    assert ev_h.shape == ev_ref.shape and ie_h.shape == ie_ref.shape
+    assert np.isfinite(ev_h).all() and np.isfinite(ie_h).all()
+    assert ((pred_h >= 0) & (pred_h <= 28)).all()
+    c = np.corrcoef(ev_h.reshape(-1), ev_ref.reshape(-1))[0, 1]
+    assert c > 0.5, f"half-payload scores decorrelated: r={c:.3f}"
+
+
 def test_ave_inference_engine_int8(tmp_path):
     """int8_towers engine produces finite scores close to the fp engine."""
     import jax
