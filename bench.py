@@ -52,10 +52,12 @@ BENCH_AVS_BATCH (4), BENCH_AVS_ITERS (8), BENCH_FOLD=0/1 (1; eval-time
 adapter BN/gate folding), BENCH_GELU=exact|tanh (tanh — the serving default;
 the exact-erf lowering measured -18% clips/s, perf/results_r5/probe_tanh.log;
 f32 parity/golden paths keep erf),
-BENCH_E2E_FMT=u8|yuv420 (u8; yuv420 ships half the frame bytes — planar Y +
-2x2-subsampled CbCr — with chroma upsample + colorspace + normalize fused
-on-device), BENCH_E2E_WAVE=i16|mulaw (i16; mulaw halves the audio bytes at
-~38 dB SNR, device-side inverse companding), BENCH_STFT=bf16|f32.
+BENCH_E2E_FMT=u8|yuv420 (yuv420 — the default ships half the frame bytes as
+planar Y + 2x2-subsampled CbCr with chroma upsample + colorspace + normalize
+fused on-device; measured 99.5% of the ingest cap, e2e_half.log),
+BENCH_E2E_WAVE=i16|mulaw (mulaw — halves the audio bytes at ~38 dB SNR,
+device-side inverse companding), BENCH_STFT=bf16|f32 (f32; bf16 measured
+no win through the tunnel, probe_stft.log).
 """
 from __future__ import annotations
 
@@ -328,8 +330,12 @@ def bench_e2e(cfg, params, state, B, M):
     from dg_sct_tpu.models import ave
     from dg_sct_tpu.ops.basic import normalize_frames_u8
 
-    fmt = os.environ.get("BENCH_E2E_FMT", "u8")        # u8 | yuv420
-    wfmt = os.environ.get("BENCH_E2E_WAVE", "i16")     # i16 | mulaw
+    # Half-payload defaults: the e2e probe measured 21.23 clips/s = 99.5% of
+    # the ingest-implied cap with yuv420+mulaw (perf/results_r5/e2e_half.log)
+    # vs 19.24 at twice the bytes — halving the wire bytes halves the binding
+    # resource on tunneled/remote-attached hosts.
+    fmt = os.environ.get("BENCH_E2E_FMT", "yuv420")    # u8 | yuv420
+    wfmt = os.environ.get("BENCH_E2E_WAVE", "mulaw")   # i16 | mulaw
 
     def dequant_wave(w):
         if wfmt == "mulaw":
