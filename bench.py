@@ -537,6 +537,11 @@ def main():
         W.set_int8_attn(True)
     if os.environ.get("BENCH_FUSED", "0") == "1":
         W.set_fused_block(True)
+    if os.environ.get("BENCH_FUSED_ADAPTER", "0") == "1":
+        # stage-5 bottleneck as one VMEM-resident Pallas pass (the measured
+        # 12.4 ms adapter tail; requires BENCH_FOLD=1, the default)
+        from dg_sct_tpu.models import adapter as _adp
+        _adp.set_fused_bottleneck(True)
     if os.environ.get("BENCH_SCAN", "0") == "1":  # measured slower; see interleave.py
         from dg_sct_tpu.models import interleave as I
         I.set_scan(True)

@@ -113,6 +113,20 @@ def fold_eval(params, state, cfg: AdapterConfig):
     return p, s
 
 
+USE_FUSED_BOTTLENECK = False
+
+
+def set_fused_bottleneck(enabled: bool) -> None:
+    """Serving-time toggle: run stage 5 (ln_before -> grouped bottleneck ->
+    ln_post) as one VMEM-resident Pallas pass
+    (`ops/pallas/adapter_bottleneck.py`). Eval-only; requires BN and gate
+    already folded (`fold_eval`). The adapter-stage knockouts measured stage
+    5 as the entire 12.4 ms adapter tail of the serving step
+    (perf/results_r5/knockouts_adstages.log)."""
+    global USE_FUSED_BOTTLENECK
+    USE_FUSED_BOTTLENECK = enabled
+
+
 def _token_linear(p, x, *, with_bias=True):
     """Apply a (M, N) token-axis map to x (B, M, D) -> (B, N, D) THROUGH
     `ops.basic.linear` rather than a raw einsum: linear dispatches the int8
@@ -215,6 +229,15 @@ def adapter(params, state, x, other, cfg: AdapterConfig, *, train=False):
     # dead there).
     if ablate.on("ad_stage5"):  # perf knockout: zero residual
         return jnp.zeros_like(x), sp_maps, dict(state)
+    if (USE_FUSED_BOTTLENECK and not train and not cfg.avs_variant
+            and cfg.is_post_layernorm and "bn1" not in params
+            and "bn2" not in params and "gate" not in params):
+        # post-fold serving shape: one fused VMEM pass over the token rows
+        from ..ops.pallas.adapter_bottleneck import fused_bottleneck
+        out = fused_bottleneck(
+            params, x,
+            has_ln1=bool(cfg.is_before_layernorm and not cfg.avs_variant))
+        return out, sp_maps, dict(state)
     z = x
     if cfg.is_before_layernorm and not cfg.avs_variant:
         z = layer_norm(params["ln_before"], z)

@@ -39,7 +39,7 @@ class AVEInferenceEngine:
                  num_workers: int = 8, int8_towers: bool = False,
                  int8_adapters: bool = False, act_scales=None,
                  fold_eval: bool = True, stft_bf16: bool = True,
-                 gelu: str = "tanh"):
+                 gelu: str = "tanh", fused_bottleneck: bool = False):
         from .utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
         if compute_dtype == jnp.bfloat16:
@@ -69,6 +69,11 @@ class AVEInferenceEngine:
             # kernels, scalar gates into ln_post (tests/test_fold_eval.py)
             from .models.interleave import fold_adapters_eval
             params, state = fold_adapters_eval(params, state, cfg)
+        if fused_bottleneck:
+            # stage-5 bottleneck as one VMEM-resident Pallas pass (needs the
+            # folded serving shape above; ops/pallas/adapter_bottleneck.py)
+            from .models.adapter import set_fused_bottleneck
+            set_fused_bottleneck(True)
         cast = lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
