@@ -57,7 +57,9 @@ planar Y + 2x2-subsampled CbCr with chroma upsample + colorspace + normalize
 fused on-device; measured 99.5% of the ingest cap, e2e_half.log),
 BENCH_E2E_WAVE=i16|mulaw (mulaw — halves the audio bytes at ~38 dB SNR,
 device-side inverse companding), BENCH_STFT=bf16|f32 (f32; bf16 measured
-no win through the tunnel, probe_stft.log).
+no win through the tunnel, probe_stft.log), BENCH_FUSED_ADAPTER=0/1 (0;
+Pallas stage-5 bottleneck pass — measured slower than XLA,
+probe_fused_adapter2.log).
 """
 from __future__ import annotations
 
