@@ -226,3 +226,136 @@ class AVEInferenceEngine:
         pos = 1.0 / (1.0 + np.exp(-ie)) > 0.5
         pred = np.where(pos, ev.argmax(-1)[:, None], n_cls)
         return ev, ie, pred
+
+
+class AVSInferenceEngine:
+    """Streaming mask inference for AVS S4/MS3 — the second task family on
+    the same serving machinery (fixed-shape chunked `lax.scan` dispatch,
+    threaded decode pool, double-buffered device staging).  The reference
+    ships only a research eval loop (`avs_s4/test.py`); this packages the
+    mask decoder as a production API.
+
+    Mask transport: with `mask_u8=True` (default) the device ships sigmoid
+    probabilities quantized to uint8 — a 4x cut of the dominant
+    device->host bytes (the (chunk, B, T, H, W) mask stack), <=1/255
+    absolute error; `mask_u8=False` returns raw f32 logits.
+
+    Usage:
+        eng = AVSInferenceEngine(cfg, params, state, batch_size=2, chunk=4)
+        for masks, metas in eng.stream_masks(dataset):
+            # masks (n, T, H, W) float probs in [0,1]; metas aligned
+            # (category, video) pairs from the dataset
+    """
+
+    def __init__(self, cfg, params, state, *, batch_size: int = 2,
+                 chunk: int = 4, compute_dtype=jnp.bfloat16,
+                 prefetch: int = 2, num_workers: int = 8,
+                 int8_towers: bool = False, fold_eval: bool = True,
+                 gelu: str = "tanh", mask_u8: bool = True):
+        from .models import avs as avs_model
+        from .utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
+        if compute_dtype == jnp.bfloat16:
+            from .ops.basic import set_gelu_mode
+            set_gelu_mode(gelu)
+        self.cfg = cfg
+        self.B = batch_size
+        self.chunk = chunk
+        self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.dtype = compute_dtype
+        self.mask_u8 = mask_u8
+
+        if fold_eval:
+            # near-no-op for the AVS adapter variant (no BN; gate precedes
+            # ln_post so it stays live) but keeps the entry points uniform
+            from .models.interleave import fold_adapters_eval
+            params, state = fold_adapters_eval(params, state, cfg)
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        self.params = cast(params)
+        self.state = cast(state)
+        if int8_towers:
+            # dynamic per-row activation scales (no AVS calibration harness
+            # yet — functional, measured neutral vs bf16 on AVE in r3)
+            from .ops.quant import quantize_eval_params
+            self.params = quantize_eval_params(self.params,
+                                               towers=("swin", "htsat"))
+
+        def stream_fn(params, state, waves, imgs):
+            def body(carry, wi):
+                w, im = wi
+                out, _ = avs_model.forward(params, state,
+                                           im.astype(compute_dtype),
+                                           w.astype(compute_dtype), cfg,
+                                           train=False)
+                pred = out["pred"]                    # (B*T, H, W, 1) logits
+                if self.mask_u8:
+                    prob = jax.nn.sigmoid(pred.astype(jnp.float32))
+                    pred = jnp.round(prob * 255.0).astype(jnp.uint8)
+                else:
+                    pred = pred.astype(jnp.float32)
+                return carry, pred[..., 0]
+
+            _, outs = jax.lax.scan(body, 0, (waves, imgs))
+            return outs
+
+        self._fn = jax.jit(stream_fn)
+
+    def stream_masks(self, dataset) -> Iterator[Tuple[np.ndarray, list]]:
+        """Yield (masks (n, T, H, W) float probs — or logits when
+        mask_u8=False — , metas [(category, video)]) per chunk in dataset
+        order; the ragged tail is unpadded."""
+        from .data.ave import batched_iterator, device_prefetch
+
+        def chunks():
+            acc, metas = [], []
+            for batch in batched_iterator(
+                    dataset, self.B, shuffle=False, drop_last=False,
+                    num_workers=self.num_workers,
+                    prefetch=self.prefetch * self.chunk):
+                n = batch["wave"].shape[0]
+                if n < self.B:
+                    reps = self.B - n
+                    batch = {k: (np.concatenate([v] + [v[-1:]] * reps)
+                                 if isinstance(v, np.ndarray) else v)
+                             for k, v in batch.items()}
+                acc.append((batch["wave"], batch["image"]))
+                metas.append(list(zip(batch["category"], batch["video"]))[:n])
+                if len(acc) == self.chunk:
+                    yield {"arrs": tuple(np.stack(z) for z in zip(*acc)),
+                           "metas": metas}
+                    acc, metas = [], []
+            if acc:
+                while len(acc) < self.chunk:
+                    acc.append(acc[-1])
+                    metas.append([])
+                yield {"arrs": tuple(np.stack(z) for z in zip(*acc)),
+                       "metas": metas}
+
+        pending = None
+        for ch in device_prefetch(chunks(), size=2, keys=("arrs",)):
+            fut = self._fn(self.params, self.state, *ch["arrs"])
+            if pending is not None:
+                yield self._finish(pending)
+            pending = (fut, ch["metas"])
+        if pending is not None:
+            yield self._finish(pending)
+
+    def _finish(self, pending):
+        fut, metas = pending
+        T = self.cfg.num_frames
+        arr = np.asarray(fut)                       # (chunk, B*T, H, W)
+        chunk, BT, H, W = arr.shape
+        arr = arr.reshape(chunk, BT // T, T, H, W)
+        if self.mask_u8:
+            arr = arr.astype(np.float32) / 255.0
+        masks, out_meta = [], []
+        for ci, meta_row in enumerate(metas):
+            k = len(meta_row)
+            if k:
+                masks.append(arr[ci, :k])
+                out_meta.extend(meta_row)
+        return (np.concatenate(masks) if masks
+                else arr[:0, 0]), out_meta

@@ -92,6 +92,51 @@ def test_ave_inference_engine_wire_formats(tmp_path):
     assert c > 0.5, f"half-payload scores decorrelated: r={c:.3f}"
 
 
+def test_avs_inference_engine(tmp_path):
+    """Streaming mask engine over a real on-disk AVSBench tree: dataset-order
+    metas, unpadded ragged tail, u8 mask transport vs f32 logits agreement."""
+    import jax
+
+    from dg_sct_tpu.data import avs as avs_data
+    from dg_sct_tpu.models import avs
+    from dg_sct_tpu.serve import AVSInferenceEngine
+    from tests.test_avs_model import tiny_avs_cfg
+
+    cfg = tiny_avs_cfg()
+    root = str(tmp_path)
+    videos = [("guitar", f"s{i}") for i in range(3)] + [("drum", "s3")]
+    media_tree.make_avs_tree(root, videos, split="test",
+                             n_frames=cfg.num_frames, img_size=cfg.mask_size,
+                             wave_samples=cfg.num_frames * 3200,
+                             mask_frames=cfg.num_frames)
+    ds = avs_data.S4Dataset(root, "test", mask_num=cfg.num_frames,
+                            img_size=cfg.mask_size,
+                            num_frames=cfg.num_frames, segment_samples=3200)
+    assert len(ds) == 4
+
+    params, state = avs.init_avs_model(jax.random.PRNGKey(0), cfg)
+    # B=2, chunk=2 -> 4 clips = 2 batches = 1 chunk... use 3 batches: B=2 over
+    # 4 clips = 2 full batches; chunk=2 -> exactly 1 chunk; add ragged: B=3
+    eng = AVSInferenceEngine(cfg, params, state, batch_size=3, chunk=2,
+                             compute_dtype=np.float32)
+    masks_all, metas_all = [], []
+    for masks, metas in eng.stream_masks(ds):
+        masks_all.append(masks)
+        metas_all.extend(metas)
+    masks = np.concatenate(masks_all)
+    assert masks.shape == (4, cfg.num_frames, cfg.mask_size, cfg.mask_size)
+    assert len(metas_all) == 4
+    assert metas_all[0][0] in ("guitar", "drum")
+    assert np.isfinite(masks).all() and (masks >= 0).all() and (masks <= 1).all()
+
+    # f32 logit transport agrees with the u8 prob transport to <= 1/255
+    eng_f = AVSInferenceEngine(cfg, params, state, batch_size=3, chunk=2,
+                               compute_dtype=np.float32, mask_u8=False)
+    logits = np.concatenate([m for m, _ in eng_f.stream_masks(ds)])
+    probs = 1.0 / (1.0 + np.exp(-logits))
+    assert np.abs(probs - masks).max() <= (0.5 / 255.0 + 1e-6)
+
+
 def test_ave_inference_engine_int8(tmp_path):
     """int8_towers engine produces finite scores close to the fp engine."""
     import jax
