@@ -48,6 +48,8 @@ measured a loss on hardware, perf/results_r3/int8_attn.log),
 BENCH_TRAIN_BATCH (4), BENCH_TRAIN_ITERS (8), BENCH_REMAT=none|full|dots
 (none), BENCH_KEEP_STDERR=0/1 (0), BENCH_FWD=0/1 (1; the bf16 forward),
 BENCH_AVS=0/1 (1; AVS S4 forward — second task family on device),
+BENCH_AVS_INT8=0/1 (1; static-scale int8 frozen towers via calibrate_avs —
+measured 101.96 vs 98.14 bf16, probe_avs_int8.log),
 BENCH_AVS_BATCH (4), BENCH_AVS_ITERS (8), BENCH_FOLD=0/1 (1; eval-time
 adapter BN/gate folding), BENCH_GELU=exact|tanh (tanh — the serving default;
 the exact-erf lowering measured -18% clips/s, perf/results_r5/probe_tanh.log;
@@ -478,6 +480,14 @@ def bench_avs(B, M):
         imgs = jax.random.uniform(
             ki, (M, B, T, cfg.mask_size, cfg.mask_size, 3), jnp.bfloat16)
         return waves, imgs
+
+    if os.environ.get("BENCH_AVS_INT8", "1") == "1":
+        # static-scale int8 frozen towers for the second family
+        # (quant.calibrate_avs; the AVE machinery generalized)
+        from dg_sct_tpu.ops import quant
+        cw, ci = gen(jax.random.PRNGKey(77))
+        scales = quant.calibrate_avs(params, state, cfg, cw[0], ci[0])
+        params = quant.quantize_eval_params(params, act_scales=scales)
 
     @jax.jit
     def fwd_stream(params, state, waves, imgs):

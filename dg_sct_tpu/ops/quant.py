@@ -193,9 +193,35 @@ def calibrate_ave(params, state, cfg, wave, images, *,
     largest bf16 residue, perf/bf16_residue.py) are int8-eligible. Adapter
     qids are appended after the tower qids (same walk order), so tower-only
     scale files stay valid prefixes."""
+    from ..models import ave
+
+    return _calibrate_forward(
+        params, state,
+        lambda t, s, w, im: ave.forward(t, s, w, im, cfg, train=False),
+        (wave, images), towers=towers, min_dim=min_dim)
+
+
+def calibrate_avs(params, state, cfg, wave, images, *,
+                  towers=("swin", "htsat"), min_dim=192):
+    """One-shot activation-scale calibration for the AVS eval forward (the
+    second serving family — same recorder machinery as `calibrate_ave`;
+    note the avs arg order: images before wave)."""
+    from ..models import avs
+
+    return _calibrate_forward(
+        params, state,
+        lambda t, s, w, im: avs.forward(t, s, im, w, cfg, train=False),
+        (wave, images), towers=towers, min_dim=min_dim)
+
+
+def _calibrate_forward(params, state, fwd, arrays, *, towers, min_dim):
+    """Shared recorder: tag every eligible tower linear, patch the
+    module-level `linear` bindings with a recorder that emits
+    (qtag, absmax(x)) as trace-time auxiliary outputs, run `fwd(tagged,
+    state, *arrays)` once, return {qid: activation absmax}."""
     import numpy as np
 
-    from ..models import adapter as AD, ave, htsat as H, swinv2 as S
+    from ..models import adapter as AD, htsat as H, swinv2 as S
     from . import basic, windows as W
 
     tagged = dict(params)
@@ -213,9 +239,9 @@ def calibrate_ave(params, state, cfg, wave, images, *,
         return orig(p, x)
 
     @jax.jit
-    def run(tagged, state, wave, images):
+    def run(tagged, state, *arrays):
         recs.clear()
-        out, _ = ave.forward(tagged, state, wave, images, cfg, train=False)
+        fwd(tagged, state, *arrays)
         tags = jnp.stack([t for t, _ in recs])
         ams = jnp.stack([a for _, a in recs])
         return tags, ams
@@ -225,7 +251,7 @@ def calibrate_ave(params, state, cfg, wave, images, *,
     for m in mods:
         m.linear = rec
     try:
-        tags, ams = run(tagged, state, wave, images)
+        tags, ams = run(tagged, state, *arrays)
         tags, ams = np.asarray(tags), np.asarray(ams)
     finally:
         for m, s in zip(mods, saved):

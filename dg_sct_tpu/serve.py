@@ -250,7 +250,8 @@ class AVSInferenceEngine:
     def __init__(self, cfg, params, state, *, batch_size: int = 2,
                  chunk: int = 4, compute_dtype=jnp.bfloat16,
                  prefetch: int = 2, num_workers: int = 8,
-                 int8_towers: bool = False, fold_eval: bool = True,
+                 int8_towers: bool = False, act_scales=None,
+                 fold_eval: bool = True,
                  gelu: str = "tanh", mask_u8: bool = True):
         from .models import avs as avs_model
         from .utils.compile_cache import enable_persistent_cache
@@ -277,11 +278,13 @@ class AVSInferenceEngine:
         self.params = cast(params)
         self.state = cast(state)
         if int8_towers:
-            # dynamic per-row activation scales (no AVS calibration harness
-            # yet — functional, measured neutral vs bf16 on AVE in r3)
+            # act_scales from quant.calibrate_avs enables the fast static
+            # activation-scale mode; without them, dynamic per-row scales
+            # (functional, measured neutral vs bf16 on AVE in r3)
             from .ops.quant import quantize_eval_params
             self.params = quantize_eval_params(self.params,
-                                               towers=("swin", "htsat"))
+                                               towers=("swin", "htsat"),
+                                               act_scales=act_scales)
 
         def stream_fn(params, state, waves, imgs):
             def body(carry, wi):

@@ -175,3 +175,31 @@ def test_scale_file_fingerprint_roundtrip(tmp_path):
         json.dump({"0": 1.5, "1": 0.25}, f)
     assert quant.load_scales(p, shapes) == scales
     assert quant.load_scales(p, {0: (256, 512)}) is None
+
+
+def test_avs_forward_int8_towers_agree():
+    """int8 generalizes to the second serving family: calibrate_avs records
+    static activation scales through the AVS forward (note its images-first
+    arg order) and the quantized mask logits stay bounded vs fp."""
+    from dg_sct_tpu.models import avs
+    from test_avs_model import tiny_avs_cfg
+
+    cfg = tiny_avs_cfg()
+    params, state = avs.init_avs_model(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(6)
+    wave = jnp.asarray(rs.randn(2, cfg.num_frames,
+                                cfg.htsat.frontend.clip_samples)
+                       .astype(np.float32) * 0.1)
+    imgs = jnp.asarray(rs.rand(2, cfg.num_frames, cfg.mask_size,
+                               cfg.mask_size, 3).astype(np.float32))
+    out_fp, _ = avs.forward(params, state, imgs, wave, cfg, train=False)
+
+    scales = quant.calibrate_avs(params, state, cfg, wave, imgs, min_dim=16)
+    assert scales and all(v > 0 for v in scales.values())
+    qparams = quant.quantize_eval_params(params, min_dim=16,
+                                         act_scales=scales)
+    out_q, _ = avs.forward(qparams, state, imgs, wave, cfg, train=False)
+    a = np.asarray(out_fp["pred"], np.float32)
+    b = np.asarray(out_q["pred"], np.float32)
+    denom = max(np.abs(a).max(), 1e-3)
+    assert np.abs(a - b).max() / denom < 0.3, np.abs(a - b).max() / denom
