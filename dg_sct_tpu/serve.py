@@ -228,6 +228,186 @@ class AVEInferenceEngine:
         return ev, ie, pred
 
 
+class _StreamingEngineBase:
+    """Shared streaming plumbing for the task-family engines: fixed-shape
+    chunked `lax.scan` dispatch, threaded decode pool (`batched_iterator`),
+    double-buffered host->device staging (`device_prefetch`), ragged-tail
+    padding with meta-aligned unpadding."""
+
+    def _setup(self, cfg, *, batch_size, chunk, compute_dtype, prefetch,
+               num_workers, gelu):
+        from .utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
+        if compute_dtype == jnp.bfloat16:
+            from .ops.basic import set_gelu_mode
+            set_gelu_mode(gelu)
+        self.cfg = cfg
+        self.B = batch_size
+        self.chunk = chunk
+        self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.dtype = compute_dtype
+
+    def _cast_tree(self, t):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(self.dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+
+    def _stream(self, dataset, arr_keys, meta_fn):
+        """Yield (device-future outputs, metas) per chunk: stacks `arr_keys`
+        into (chunk, B, ...) blocks, `meta_fn(batch, n)` collects the
+        host-side row metadata, `self._fn` is the jitted chunk program."""
+        from .data.ave import batched_iterator, device_prefetch
+
+        def chunks():
+            acc, metas = [], []
+            for batch in batched_iterator(
+                    dataset, self.B, shuffle=False, drop_last=False,
+                    num_workers=self.num_workers,
+                    prefetch=self.prefetch * self.chunk):
+                n = batch[arr_keys[0]].shape[0]
+                if n < self.B:
+                    reps = self.B - n
+                    batch = {k: (np.concatenate([v] + [v[-1:]] * reps)
+                                 if isinstance(v, np.ndarray) else v)
+                             for k, v in batch.items()}
+                acc.append(tuple(batch[k] for k in arr_keys))
+                metas.append(meta_fn(batch, n))
+                if len(acc) == self.chunk:
+                    yield {"arrs": tuple(np.stack(z) for z in zip(*acc)),
+                           "metas": metas}
+                    acc, metas = [], []
+            if acc:
+                while len(acc) < self.chunk:
+                    acc.append(acc[-1])
+                    metas.append([])
+                yield {"arrs": tuple(np.stack(z) for z in zip(*acc)),
+                       "metas": metas}
+
+        pending = None
+        for ch in device_prefetch(chunks(), size=2, keys=("arrs",)):
+            fut = self._fn(self.params, self.state, *ch["arrs"])
+            if pending is not None:
+                yield pending
+            pending = (fut, ch["metas"])
+        if pending is not None:
+            yield pending
+
+
+class AVVPInferenceEngine(_StreamingEngineBase):
+    """Streaming audio-visual video parsing (LLP): yields the probability
+    set the AVVP evaluator consumes (`train/avvp_eval.py`) — global / audio /
+    visual clip probs and the (T, 25) per-segment frame probs — per video.
+
+    Usage:
+        eng = AVVPInferenceEngine(cfg, params, state)
+        for probs, vids in eng.stream_probs(dataset):
+            # probs: dict of (n, ...) arrays; vids: aligned video ids
+    """
+
+    def __init__(self, cfg, params, state, *, batch_size: int = 4,
+                 chunk: int = 4, compute_dtype=jnp.bfloat16,
+                 prefetch: int = 2, num_workers: int = 8,
+                 fold_eval: bool = True, gelu: str = "tanh"):
+        from .models import avvp as avvp_model
+        self._setup(cfg, batch_size=batch_size, chunk=chunk,
+                    compute_dtype=compute_dtype, prefetch=prefetch,
+                    num_workers=num_workers, gelu=gelu)
+        if fold_eval:
+            from .models.interleave import fold_adapters_eval
+            params, state = fold_adapters_eval(params, state, cfg)
+        self.params = self._cast_tree(params)
+        self.state = self._cast_tree(state)
+        dtype = compute_dtype
+
+        def stream_fn(params, state, waves, imgs, sts):
+            def body(carry, wis):
+                w, im, st = wis
+                out, _ = avvp_model.forward(params, state, w.astype(dtype),
+                                            im.astype(dtype),
+                                            st.astype(dtype), cfg,
+                                            train=False)
+                keep = ("global_prob", "a_prob", "v_prob",
+                        "a_frame_prob", "v_frame_prob")
+                return carry, {k: out[k].astype(jnp.float32) for k in keep}
+
+            _, outs = jax.lax.scan(body, 0, (waves, imgs, sts))
+            return outs
+
+        self._fn = jax.jit(stream_fn)
+
+    def stream_probs(self, dataset) -> Iterator[Tuple[dict, list]]:
+        for fut, metas in self._stream(
+                dataset, ("wave", "image", "video_st"),
+                lambda b, n: list(b["video"][:n])):
+            out = {k: np.asarray(v) for k, v in fut.items()}
+            vids, keep = [], []
+            for ci, row in enumerate(metas):
+                for j in range(len(row)):
+                    keep.append((ci, j))
+                vids.extend(row)
+            sel = {k: np.stack([v[ci, j] for ci, j in keep]) if keep
+                   else v[:0, 0] for k, v in out.items()}
+            yield sel, vids
+
+
+class AVQAInferenceEngine(_StreamingEngineBase):
+    """Streaming audio-visual question answering: yields (B, 42) answer
+    logits + argmax answer indices per question.  The matching (nega)
+    branch is training-only, so the engine feeds the positive frames to
+    both streams — XLA CSEs the identical tower pass, making the dead
+    branch free.
+
+    Usage:
+        eng = AVQAInferenceEngine(cfg, params, state)
+        for logits, preds, metas in eng.stream_answers(dataset):
+            # metas: [(answer_idx, question_type)] aligned rows
+    """
+
+    def __init__(self, cfg, params, state, *, batch_size: int = 4,
+                 chunk: int = 4, compute_dtype=jnp.bfloat16,
+                 prefetch: int = 2, num_workers: int = 8,
+                 fold_eval: bool = True, gelu: str = "tanh"):
+        from .models import avqa as avqa_model
+        self._setup(cfg, batch_size=batch_size, chunk=chunk,
+                    compute_dtype=compute_dtype, prefetch=prefetch,
+                    num_workers=num_workers, gelu=gelu)
+        if fold_eval:
+            from .models.interleave import fold_adapters_eval
+            params, state = fold_adapters_eval(params, state, cfg)
+        self.params = self._cast_tree(params)
+        self.state = self._cast_tree(state)
+        dtype = compute_dtype
+
+        def stream_fn(params, state, waves, imgs, questions):
+            def body(carry, wiq):
+                w, im, q = wiq
+                im = im.astype(dtype)
+                out, _ = avqa_model.forward(params, state, w.astype(dtype),
+                                            im, im, q, cfg, train=False)
+                return carry, out["out_qa"].astype(jnp.float32)
+
+            _, outs = jax.lax.scan(body, 0, (waves, imgs, questions))
+            return outs
+
+        self._fn = jax.jit(stream_fn)
+
+    def stream_answers(self, dataset):
+        for fut, metas in self._stream(
+                dataset, ("wave", "visual_posi", "question"),
+                lambda b, n: list(zip(b["answer"][:n].tolist(),
+                                      b["type"][:n]))):
+            arr = np.asarray(fut)                     # (chunk, B, n_ans)
+            logits, out_meta = [], []
+            for ci, row in enumerate(metas):
+                k = len(row)
+                if k:
+                    logits.append(arr[ci, :k])
+                    out_meta.extend(row)
+            logits = (np.concatenate(logits) if logits else arr[:0, 0])
+            yield logits, logits.argmax(-1), out_meta
+
+
 class AVSInferenceEngine:
     """Streaming mask inference for AVS S4/MS3 — the second task family on
     the same serving machinery (fixed-shape chunked `lax.scan` dispatch,

@@ -92,6 +92,82 @@ def test_ave_inference_engine_wire_formats(tmp_path):
     assert c > 0.5, f"half-payload scores decorrelated: r={c:.3f}"
 
 
+def test_avvp_inference_engine(tmp_path):
+    """Streaming parser over a real LLP tree: the evaluator's probability
+    set per video, dataset order, ragged tail unpadded."""
+    import jax
+
+    from dg_sct_tpu.data import avvp as avvp_data
+    from dg_sct_tpu.models import avvp
+    from dg_sct_tpu.serve import AVVPInferenceEngine
+    from tests.test_avvp_model import tiny_avvp_cfg
+
+    cfg = tiny_avvp_cfg()
+    root = str(tmp_path)
+    ids = [f"{c*11}_0" for c in "abc"]
+    tree = media_tree.make_llp_tree(root, ids, n_frames=3,
+                                    img_size=cfg.swin.img_size,
+                                    wave_samples=2 * 3200)
+    ds = avvp_data.LLPDataset(
+        f"{root}/AVVP_test_pd.csv", frame_dir=tree["frames"],
+        audio_dir=tree["audio"], st_dir=tree["st"],
+        img_size=cfg.swin.img_size, num_frames=cfg.num_frames,
+        segment_samples=3200)
+    assert len(ds) == 3
+
+    params, state = avvp.init_avvp_model(jax.random.PRNGKey(0), cfg)
+    eng = AVVPInferenceEngine(cfg, params, state, batch_size=2, chunk=1,
+                              compute_dtype=np.float32)
+    vids_all, rows = [], []
+    for probs, vids in eng.stream_probs(ds):
+        assert set(probs) == {"global_prob", "a_prob", "v_prob",
+                              "a_frame_prob", "v_frame_prob"}
+        assert probs["a_frame_prob"].shape[1:] == (cfg.num_frames, 25)
+        rows.append(probs["global_prob"])
+        vids_all.extend(vids)
+    assert len(vids_all) == 3 and all(v[0] in "abc" for v in vids_all)
+    gp = np.concatenate(rows)
+    assert gp.shape == (3, 25) and np.isfinite(gp).all()
+
+
+def test_avqa_inference_engine(tmp_path):
+    """Streaming QA over a real MUSIC-AVQA tree: per-question answer logits
+    + argmax preds, metas carrying (answer, type). The nega stream is fed
+    the posi frames (training-only branch; XLA CSEs the duplicate tower)."""
+    import jax
+
+    from dg_sct_tpu.data import avqa as avqa_data
+    from dg_sct_tpu.models import avqa
+    from dg_sct_tpu.serve import AVQAInferenceEngine
+    from tests.test_avqa_model import tiny_avqa_cfg
+
+    cfg = tiny_avqa_cfg()
+    root = str(tmp_path)
+    tree = media_tree.make_avqa_tree(root, ["qa0", "qa1"], n_frames=3,
+                                     img_size=cfg.swin.img_size,
+                                     wave_samples=2 * 3200, n_q=3)
+    ds = avqa_data.AVQADataset(root, f"{root}/avqa-test.json",
+                               frame_dir=tree["frames"],
+                               audio_dir=tree["audio"],
+                               img_size=cfg.swin.img_size,
+                               num_frames=cfg.num_frames,
+                               segment_samples=3200, seed=0)
+    assert len(ds) == 3
+
+    params, state = avqa.init_avqa_model(jax.random.PRNGKey(0), cfg)
+    eng = AVQAInferenceEngine(cfg, params, state, batch_size=2, chunk=1,
+                              compute_dtype=np.float32)
+    n, metas_all = 0, []
+    for logits, preds, metas in eng.stream_answers(ds):
+        assert logits.shape[-1] == cfg.ans_vocab_size
+        assert (preds == logits.argmax(-1)).all()
+        n += logits.shape[0]
+        metas_all.extend(metas)
+    assert n == 3 and len(metas_all) == 3
+    for ans, qtype in metas_all:
+        assert 0 <= ans < cfg.ans_vocab_size and isinstance(qtype, str)
+
+
 def test_avs_inference_engine(tmp_path):
     """Streaming mask engine over a real on-disk AVSBench tree: dataset-order
     metas, unpadded ragged tail, u8 mask transport vs f32 logits agreement."""
