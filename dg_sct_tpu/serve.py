@@ -408,7 +408,7 @@ class AVQAInferenceEngine(_StreamingEngineBase):
             yield logits, logits.argmax(-1), out_meta
 
 
-class AVSInferenceEngine:
+class AVSInferenceEngine(_StreamingEngineBase):
     """Streaming mask inference for AVS S4/MS3 — the second task family on
     the same serving machinery (fixed-shape chunked `lax.scan` dispatch,
     threaded decode pool, double-buffered device staging).  The reference
@@ -434,17 +434,9 @@ class AVSInferenceEngine:
                  fold_eval: bool = True,
                  gelu: str = "tanh", mask_u8: bool = True):
         from .models import avs as avs_model
-        from .utils.compile_cache import enable_persistent_cache
-        enable_persistent_cache()
-        if compute_dtype == jnp.bfloat16:
-            from .ops.basic import set_gelu_mode
-            set_gelu_mode(gelu)
-        self.cfg = cfg
-        self.B = batch_size
-        self.chunk = chunk
-        self.prefetch = prefetch
-        self.num_workers = num_workers
-        self.dtype = compute_dtype
+        self._setup(cfg, batch_size=batch_size, chunk=chunk,
+                    compute_dtype=compute_dtype, prefetch=prefetch,
+                    num_workers=num_workers, gelu=gelu)
         self.mask_u8 = mask_u8
 
         if fold_eval:
@@ -452,11 +444,8 @@ class AVSInferenceEngine:
             # ln_post so it stays live) but keeps the entry points uniform
             from .models.interleave import fold_adapters_eval
             params, state = fold_adapters_eval(params, state, cfg)
-        cast = lambda t: jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
-        self.params = cast(params)
-        self.state = cast(state)
+        self.params = self._cast_tree(params)
+        self.state = self._cast_tree(state)
         if int8_towers:
             # act_scales from quant.calibrate_avs enables the fast static
             # activation-scale mode; without them, dynamic per-row scales
@@ -490,40 +479,9 @@ class AVSInferenceEngine:
         """Yield (masks (n, T, H, W) float probs — or logits when
         mask_u8=False — , metas [(category, video)]) per chunk in dataset
         order; the ragged tail is unpadded."""
-        from .data.ave import batched_iterator, device_prefetch
-
-        def chunks():
-            acc, metas = [], []
-            for batch in batched_iterator(
-                    dataset, self.B, shuffle=False, drop_last=False,
-                    num_workers=self.num_workers,
-                    prefetch=self.prefetch * self.chunk):
-                n = batch["wave"].shape[0]
-                if n < self.B:
-                    reps = self.B - n
-                    batch = {k: (np.concatenate([v] + [v[-1:]] * reps)
-                                 if isinstance(v, np.ndarray) else v)
-                             for k, v in batch.items()}
-                acc.append((batch["wave"], batch["image"]))
-                metas.append(list(zip(batch["category"], batch["video"]))[:n])
-                if len(acc) == self.chunk:
-                    yield {"arrs": tuple(np.stack(z) for z in zip(*acc)),
-                           "metas": metas}
-                    acc, metas = [], []
-            if acc:
-                while len(acc) < self.chunk:
-                    acc.append(acc[-1])
-                    metas.append([])
-                yield {"arrs": tuple(np.stack(z) for z in zip(*acc)),
-                       "metas": metas}
-
-        pending = None
-        for ch in device_prefetch(chunks(), size=2, keys=("arrs",)):
-            fut = self._fn(self.params, self.state, *ch["arrs"])
-            if pending is not None:
-                yield self._finish(pending)
-            pending = (fut, ch["metas"])
-        if pending is not None:
+        for pending in self._stream(
+                dataset, ("wave", "image"),
+                lambda b, n: list(zip(b["category"], b["video"]))[:n]):
             yield self._finish(pending)
 
     def _finish(self, pending):
