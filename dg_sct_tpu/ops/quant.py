@@ -214,6 +214,31 @@ def calibrate_avs(params, state, cfg, wave, images, *,
         (wave, images), towers=towers, min_dim=min_dim)
 
 
+def calibrate_avvp(params, state, cfg, wave, images, video_st, *,
+                   towers=("swin", "htsat"), min_dim=192):
+    """One-shot activation-scale calibration for the AVVP eval forward."""
+    from ..models import avvp
+
+    return _calibrate_forward(
+        params, state,
+        lambda t, s, w, im, st: avvp.forward(t, s, w, im, st, cfg,
+                                             train=False),
+        (wave, images, video_st), towers=towers, min_dim=min_dim)
+
+
+def calibrate_avqa(params, state, cfg, wave, images, question, *,
+                   towers=("swin", "htsat"), min_dim=192):
+    """One-shot activation-scale calibration for the AVQA eval forward (the
+    training-only nega stream receives the posi frames — XLA CSEs it)."""
+    from ..models import avqa
+
+    return _calibrate_forward(
+        params, state,
+        lambda t, s, w, im, q: avqa.forward(t, s, w, im, im, q, cfg,
+                                            train=False),
+        (wave, images, question), towers=towers, min_dim=min_dim)
+
+
 def _calibrate_forward(params, state, fwd, arrays, *, towers, min_dim):
     """Shared recorder: tag every eligible tower linear, patch the
     module-level `linear` bindings with a recorder that emits

@@ -308,6 +308,7 @@ class AVVPInferenceEngine(_StreamingEngineBase):
     def __init__(self, cfg, params, state, *, batch_size: int = 4,
                  chunk: int = 4, compute_dtype=jnp.bfloat16,
                  prefetch: int = 2, num_workers: int = 8,
+                 int8_towers: bool = False, act_scales=None,
                  fold_eval: bool = True, gelu: str = "tanh"):
         from .models import avvp as avvp_model
         self._setup(cfg, batch_size=batch_size, chunk=chunk,
@@ -318,6 +319,11 @@ class AVVPInferenceEngine(_StreamingEngineBase):
             params, state = fold_adapters_eval(params, state, cfg)
         self.params = self._cast_tree(params)
         self.state = self._cast_tree(state)
+        if int8_towers:  # act_scales: quant.calibrate_avvp
+            from .ops.quant import quantize_eval_params
+            self.params = quantize_eval_params(self.params,
+                                               towers=("swin", "htsat"),
+                                               act_scales=act_scales)
         dtype = compute_dtype
 
         def stream_fn(params, state, waves, imgs, sts):
@@ -367,6 +373,7 @@ class AVQAInferenceEngine(_StreamingEngineBase):
     def __init__(self, cfg, params, state, *, batch_size: int = 4,
                  chunk: int = 4, compute_dtype=jnp.bfloat16,
                  prefetch: int = 2, num_workers: int = 8,
+                 int8_towers: bool = False, act_scales=None,
                  fold_eval: bool = True, gelu: str = "tanh"):
         from .models import avqa as avqa_model
         self._setup(cfg, batch_size=batch_size, chunk=chunk,
@@ -377,6 +384,11 @@ class AVQAInferenceEngine(_StreamingEngineBase):
             params, state = fold_adapters_eval(params, state, cfg)
         self.params = self._cast_tree(params)
         self.state = self._cast_tree(state)
+        if int8_towers:  # act_scales: quant.calibrate_avqa
+            from .ops.quant import quantize_eval_params
+            self.params = quantize_eval_params(self.params,
+                                               towers=("swin", "htsat"),
+                                               act_scales=act_scales)
         dtype = compute_dtype
 
         def stream_fn(params, state, waves, imgs, questions):

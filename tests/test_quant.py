@@ -203,3 +203,50 @@ def test_avs_forward_int8_towers_agree():
     b = np.asarray(out_q["pred"], np.float32)
     denom = max(np.abs(a).max(), 1e-3)
     assert np.abs(a - b).max() / denom < 0.3, np.abs(a - b).max() / denom
+
+
+def test_avvp_avqa_calibrate_and_int8_agree():
+    """int8 static-scale towers cover the remaining two families: the
+    calibrators record nonzero scales through each forward and the quantized
+    heads' outputs stay bounded vs fp."""
+    from dg_sct_tpu.models import avvp, avqa
+    from test_avvp_model import tiny_avvp_cfg
+    from test_avqa_model import tiny_avqa_cfg
+
+    rs = np.random.RandomState(7)
+
+    pcfg = tiny_avvp_cfg()
+    pp, ps = avvp.init_avvp_model(jax.random.PRNGKey(0), pcfg)
+    w = jnp.asarray(rs.randn(2, pcfg.num_frames,
+                             pcfg.htsat.frontend.clip_samples)
+                    .astype(np.float32) * 0.1)
+    im = jnp.asarray(rs.rand(2, pcfg.num_frames, pcfg.swin.img_size,
+                             pcfg.swin.img_size, 3).astype(np.float32))
+    st = jnp.asarray(rs.randn(2, pcfg.num_frames, 512).astype(np.float32))
+    fp, _ = avvp.forward(pp, ps, w, im, st, pcfg, train=False)
+    scales = quant.calibrate_avvp(pp, ps, pcfg, w, im, st, min_dim=16)
+    assert scales and all(v > 0 for v in scales.values())
+    qp = quant.quantize_eval_params(pp, min_dim=16, act_scales=scales)
+    q, _ = avvp.forward(qp, ps, w, im, st, pcfg, train=False)
+    a, b = (np.asarray(fp["global_prob"], np.float32),
+            np.asarray(q["global_prob"], np.float32))
+    assert np.abs(a - b).max() < 0.3  # probs in [0, 25]
+
+    qcfg = tiny_avqa_cfg()
+    qpp, qps = avqa.init_avqa_model(jax.random.PRNGKey(1), qcfg)
+    qw = jnp.asarray(rs.randn(2, qcfg.num_frames,
+                              qcfg.htsat.frontend.clip_samples)
+                     .astype(np.float32) * 0.1)
+    qim = jnp.asarray(rs.rand(2, qcfg.num_frames, qcfg.swin.img_size,
+                              qcfg.swin.img_size, 3).astype(np.float32))
+    qq = jnp.asarray(rs.randint(0, qcfg.qst_vocab_size,
+                                size=(2, 14)).astype(np.int32))
+    fpq, _ = avqa.forward(qpp, qps, qw, qim, qim, qq, qcfg, train=False)
+    qscales = quant.calibrate_avqa(qpp, qps, qcfg, qw, qim, qq, min_dim=16)
+    assert qscales and all(v > 0 for v in qscales.values())
+    qqp = quant.quantize_eval_params(qpp, min_dim=16, act_scales=qscales)
+    qout, _ = avqa.forward(qqp, qps, qw, qim, qim, qq, qcfg, train=False)
+    a, b = (np.asarray(fpq["out_qa"], np.float32),
+            np.asarray(qout["out_qa"], np.float32))
+    denom = max(np.abs(a).max(), 1e-3)
+    assert np.abs(a - b).max() / denom < 0.3, np.abs(a - b).max() / denom
